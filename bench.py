@@ -1,0 +1,87 @@
+"""Benchmark: Navier-Stokes-128² FNO training steps/sec on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N}
+
+Config matches the reference's NS-128² training north star
+(/root/reference/config/navier_stokes_config.py:10-40 + config/models.py:58-68):
+FNO, n_modes 64x64, hidden 64, 4 layers, projection ratio 4, batch 8,
+H1 train loss, AdamW — full jitted train step (fwd+bwd+update).
+
+``vs_baseline`` compares against an estimated reference A100 PyTorch
+wall-clock of 10 steps/sec for this config (the reference publishes no
+numbers; see BASELINE.md). Re-estimated in later rounds.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_A100_STEPS_PER_SEC = 10.0  # estimate; reference publishes no numbers
+
+
+def main():
+    import optax
+
+    from neuraloperator_tpu.losses import H1Loss
+    from neuraloperator_tpu.models import FNO
+
+    model = FNO(
+        n_modes=(64, 64),
+        in_channels=1,
+        out_channels=1,
+        hidden_channels=64,
+        n_layers=4,
+        projection_channel_ratio=4,
+    )
+    batch = 8
+    res = 128
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(batch, 1, res, res), jnp.float32)
+    y = jnp.asarray(rng.randn(batch, 1, res, res), jnp.float32)
+
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    opt = optax.adamw(3e-4)
+    opt_state = opt.init(params)
+    h1 = H1Loss(d=2)
+
+    @jax.jit
+    def step(params, opt_state, xx, yy):
+        def loss_fn(p):
+            return h1(model.apply({"params": p}, xx), yy)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    # warmup (compile)
+    params, opt_state, loss = step(params, opt_state, x, y)
+    loss.block_until_ready()
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        params, opt_state, loss = step(params, opt_state, x, y)
+    loss.block_until_ready()
+    dt = time.perf_counter() - t0
+    steps_per_sec = n_iters / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "ns128_fno_train_steps_per_sec",
+                "value": round(steps_per_sec, 3),
+                "unit": "steps/sec",
+                "vs_baseline": round(
+                    steps_per_sec / BASELINE_A100_STEPS_PER_SEC, 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""Data processors bridging datasets and the trainer.
+
+Equivalent of reference ``neuralop/data/transforms/data_processors.py``:
+``preprocess`` runs before the model (normalization), ``postprocess``
+after (denormalization at eval time). Processors are pure with an explicit
+``train`` flag so they can live inside jitted train/eval steps.
+"""
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+class DataProcessor:
+    """ABC (reference data_processors.py:11-66)."""
+
+    def preprocess(self, sample: dict, train: bool = True) -> dict:
+        raise NotImplementedError
+
+    def postprocess(self, out, sample: dict, train: bool = True):
+        raise NotImplementedError
+
+    def wrap(self, model_apply):
+        self.model_apply = model_apply
+        return self
+
+
+class DefaultDataProcessor(DataProcessor):
+    """Normalize x always; normalize y during training, denormalize
+    predictions at eval (reference data_processors.py:98-153).
+    """
+
+    def __init__(self, in_normalizer=None, out_normalizer=None):
+        self.in_normalizer = in_normalizer
+        self.out_normalizer = out_normalizer
+
+    def preprocess(self, sample: dict, train: bool = True) -> dict:
+        sample = dict(sample)
+        if self.in_normalizer is not None:
+            sample["x"] = self.in_normalizer.transform(sample["x"])
+        if self.out_normalizer is not None and train:
+            sample["y"] = self.out_normalizer.transform(sample["y"])
+        return sample
+
+    def postprocess(self, out, sample: dict, train: bool = True):
+        if self.out_normalizer is not None and not train:
+            out = self.out_normalizer.inverse_transform(out)
+        return out, sample
+
+
+class IncrementalDataProcessor(DataProcessor):
+    """Epoch-scheduled resolution curriculum.
+
+    Mirrors reference ``IncrementalDataProcessor``
+    (data_processors.py:171-304): subsample the spatial dims by a decreasing
+    factor according to an epoch schedule. Since jit requires static shapes,
+    the current subsampling factor is applied on the host (numpy slicing in
+    the loader path) and each new resolution triggers one retrace.
+    """
+
+    def __init__(
+        self,
+        in_normalizer=None,
+        out_normalizer=None,
+        device=None,
+        subsampling_rates=(2, 1),
+        dataset_resolution: int = 16,
+        dataset_indices=(2, 3),
+        epoch_gap: int = 10,
+        verbose: bool = False,
+    ):
+        self.in_normalizer = in_normalizer
+        self.out_normalizer = out_normalizer
+        self.subsampling_rates = list(subsampling_rates)
+        self.dataset_resolution = dataset_resolution
+        self.dataset_indices = list(dataset_indices)
+        self.epoch_gap = epoch_gap
+        self.verbose = verbose
+        self.epoch = 0
+        self.current_index = 0
+
+    def epoch_wise_res_increase(self, epoch: int):
+        if (
+            epoch % self.epoch_gap == 0
+            and epoch != 0
+            and self.current_index < len(self.subsampling_rates) - 1
+        ):
+            self.current_index += 1
+            if self.verbose:
+                print(
+                    f"Incremental resolution: rate "
+                    f"{self.subsampling_rates[self.current_index]} at epoch {epoch}"
+                )
+
+    def step(self, epoch: int):
+        self.epoch = epoch
+        self.epoch_wise_res_increase(epoch)
+
+    def regularize_input_res(self, x, y):
+        rate = self.subsampling_rates[self.current_index]
+        if rate > 1:
+            idx = [slice(None)] * x.ndim
+            for d in self.dataset_indices:
+                idx[d] = slice(None, None, rate)
+            x = x[tuple(idx)]
+            y = y[tuple(idx)]
+        return x, y
+
+    def preprocess(self, sample: dict, train: bool = True) -> dict:
+        sample = dict(sample)
+        if self.in_normalizer is not None:
+            sample["x"] = self.in_normalizer.transform(sample["x"])
+        if self.out_normalizer is not None and train:
+            sample["y"] = self.out_normalizer.transform(sample["y"])
+        if train:
+            sample["x"], sample["y"] = self.regularize_input_res(
+                sample["x"], sample["y"]
+            )
+        return sample
+
+    def postprocess(self, out, sample: dict, train: bool = True):
+        if self.out_normalizer is not None and not train:
+            out = self.out_normalizer.inverse_transform(out)
+        return out, sample

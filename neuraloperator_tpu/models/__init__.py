@@ -1,0 +1,12 @@
+from .base_model import (  # noqa: F401
+    available_models,
+    from_checkpoint,
+    get_model,
+    get_model_class,
+    load_checkpoint,
+    register_model,
+    save_checkpoint,
+)
+from .fno import FNO, TFNO  # noqa: F401
+from .uno import UNO  # noqa: F401
+from .uqno import UQNO  # noqa: F401

@@ -1,0 +1,117 @@
+"""Complex einsum lowered to real MXU matmuls.
+
+The TPU backend does not implement complex ``dot_general`` (and XLA's
+decomposition of complex matmuls is not wired up on all PJRT plugins), so
+every complex contraction in the framework goes through this module: the
+einsum is planned as a chain of pairwise contractions (``np.einsum_path``)
+and each pairwise step is executed as four real einsums
+
+    Cr = Ar Br - Ai Bi,   Ci = Ar Bi + Ai Br
+
+which XLA maps directly onto the MXU. This is also the right call
+performance-wise: explicit real arithmetic lets the compiler fuse and tile
+without complex-type constraints.
+"""
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _pair_output_subscript(
+    sub_a: str, sub_b: str, remaining: Sequence[str], final_out: str
+) -> str:
+    """Indices surviving a pairwise contraction: those still needed later."""
+    needed = set(final_out)
+    for s in remaining:
+        needed |= set(s)
+    combined = []
+    for ch in dict.fromkeys(sub_a + sub_b):  # stable order
+        if ch in needed:
+            combined.append(ch)
+    return "".join(combined)
+
+
+def _pairwise_complex(eq: str, a, b):
+    """(ar, ai), (br, bi) -> (cr, ci) via four real einsums."""
+    ar, ai = a
+    br, bi = b
+    rr = jnp.einsum(eq, ar, br)
+    ii = jnp.einsum(eq, ai, bi)
+    ri = jnp.einsum(eq, ar, bi)
+    ir = jnp.einsum(eq, ai, br)
+    return rr - ii, ri + ir
+
+
+def _single_complex(eq: str, a):
+    ar, ai = a
+    return jnp.einsum(eq, ar), jnp.einsum(eq, ai)
+
+
+def split_complex(x) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    if jnp.iscomplexobj(x):
+        return jnp.real(x), jnp.imag(x)
+    return x, jnp.zeros_like(x)
+
+
+def complex_einsum(eq: str, *ops) -> jnp.ndarray:
+    """Evaluate a complex einsum without complex dot_general.
+
+    Accepts complex (or real) operands; returns a complex array. The
+    contraction order comes from ``np.einsum_path`` on the static shapes.
+    """
+    inputs, output = eq.replace(" ", "").split("->")
+    subs: List[str] = inputs.split(",")
+    assert len(subs) == len(ops)
+
+    parts = [split_complex(jnp.asarray(op)) for op in ops]
+
+    if len(ops) == 1:
+        r, i = _single_complex(f"{subs[0]}->{output}", parts[0])
+        return jax.lax.complex(r, i)
+
+    dummies = [np.broadcast_to(np.float32(0), op.shape) for op in ops]
+    path, _ = np.einsum_path(eq, *dummies, optimize="optimal")
+    path = path[1:]  # first entry is the string 'einsum_path'
+
+    work_subs = list(subs)
+    work_ops = list(parts)
+    for step in path:
+        idxs = sorted(step, reverse=True)
+        if len(idxs) == 1:
+            # single-tensor step (trace/sum); run on parts directly
+            i = idxs[0]
+            sub = work_subs.pop(i)
+            op = work_ops.pop(i)
+            out_sub = _pair_output_subscript(sub, "", work_subs, output)
+            r, im = _single_complex(f"{sub}->{out_sub}", op)
+            work_subs.append(out_sub)
+            work_ops.append((r, im))
+            continue
+        # contract pairs left-to-right within the step
+        step_subs = [work_subs[i] for i in idxs][::-1]
+        step_ops = [work_ops[i] for i in idxs][::-1]
+        for i in idxs:
+            work_subs.pop(i)
+            work_ops.pop(i)
+        cur_sub, cur_op = step_subs[0], step_ops[0]
+        for k, (nxt_sub, nxt_op) in enumerate(zip(step_subs[1:], step_ops[1:])):
+            pending = step_subs[k + 2 :]  # step operands not yet contracted
+            out_sub = _pair_output_subscript(
+                cur_sub, nxt_sub, list(work_subs) + pending, output
+            )
+            cur_op = _pairwise_complex(
+                f"{cur_sub},{nxt_sub}->{out_sub}", cur_op, nxt_op
+            )
+            cur_sub = out_sub
+        work_subs.append(cur_sub)
+        work_ops.append(cur_op)
+
+    assert len(work_ops) == 1
+    final_sub = work_subs[0]
+    r, im = work_ops[0]
+    if final_sub != output:
+        r, im = _single_complex(f"{final_sub}->{output}", (r, im))
+    return jax.lax.complex(r, im)

@@ -1,0 +1,130 @@
+"""Fourier-mode weight contractions (dense and factorized).
+
+Implements the contraction dispatch of the reference
+(``/root/reference/neuralop/layers/spectral_convolution.py:21-177``):
+given the truncated spectrum block ``x`` of shape ``(batch, in_ch, m1..md)``
+and a (possibly factorized) complex weight, compute the per-mode channel
+mixing. Every variant is expressed as a single ``jnp.einsum`` so XLA lowers
+it onto the MXU as batched (complex -> 4x real) matmuls.
+"""
+
+from typing import Dict
+
+import jax.numpy as jnp
+
+from ..tensor.factorized import FactorizationSpec, Params, to_tensor
+from .complex_einsum import complex_einsum
+
+_SYMS = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
+def contract_dense(x: jnp.ndarray, weight: jnp.ndarray, separable: bool = False):
+    """x: (b, i, m...), weight: (i, o, m...) -> (b, o, m...).
+
+    Separable: weight (i, m...) multiplies x elementwise (reference
+    ``_contract_dense_separable``).
+    """
+    if separable:
+        return x * weight[None]
+    order = x.ndim
+    x_syms = _SYMS[:order]  # b, i, modes...
+    out_sym = _SYMS[order]
+    weight_syms = x_syms[1] + out_sym + x_syms[2:]
+    out_syms = x_syms[0] + out_sym + x_syms[2:]
+    return complex_einsum(f"{x_syms},{weight_syms}->{out_syms}", x, weight)
+
+
+def contract_cp(
+    x: jnp.ndarray, params: Params, spec: FactorizationSpec, separable: bool = False
+):
+    """CP contraction: rank-summed product of per-dim factors.
+
+    Mirrors reference ``_contract_cp`` (spectral_convolution.py:55-73).
+    """
+    order = x.ndim
+    x_syms = _SYMS[:order]
+    rank_sym = _SYMS[order]
+    out_sym = _SYMS[order + 1]
+    factors = [params[f"factor_{i}"] for i in range(spec.order)]
+    if separable:
+        out_syms = x_syms
+        factor_syms = [x_syms[1] + rank_sym]  # in-channel factor only
+    else:
+        out_syms = x_syms[0] + out_sym + x_syms[2:]
+        factor_syms = [x_syms[1] + rank_sym, out_sym + rank_sym]
+    factor_syms += [s + rank_sym for s in x_syms[2:]]
+    eq = f"{x_syms},{rank_sym},{','.join(factor_syms)}->{out_syms}"
+    return complex_einsum(eq, x, params["lambdas"], *factors)
+
+
+def contract_tucker(
+    x: jnp.ndarray, params: Params, spec: FactorizationSpec, separable: bool = False
+):
+    """Tucker contraction: core tensor with per-dim factor matrices.
+
+    Mirrors reference ``_contract_tucker`` (spectral_convolution.py:76-103).
+    """
+    order = x.ndim
+    x_syms = _SYMS[:order]
+    out_sym = _SYMS[order]
+    factors = [params[f"factor_{i}"] for i in range(spec.order)]
+    if separable:
+        core_syms = _SYMS[order + 1 : 2 * order]  # ndim-1 core dims
+        out_syms = x_syms
+        factor_syms = [xs + rs for xs, rs in zip(x_syms[1:], core_syms)]
+    else:
+        core_syms = _SYMS[order + 1 : 2 * order + 1]
+        out_syms = x_syms[0] + out_sym + x_syms[2:]
+        factor_syms = [x_syms[1] + core_syms[0], out_sym + core_syms[1]]
+        factor_syms += [xs + rs for xs, rs in zip(x_syms[2:], core_syms[2:])]
+    eq = f"{x_syms},{core_syms},{','.join(factor_syms)}->{out_syms}"
+    return complex_einsum(eq, x, params["core"], *factors)
+
+
+def contract_tt(
+    x: jnp.ndarray, params: Params, spec: FactorizationSpec, separable: bool = False
+):
+    """Tensor-train contraction: chain of 3-way cores.
+
+    Mirrors reference ``_contract_tt`` (spectral_convolution.py:106-132).
+    """
+    order = x.ndim
+    x_syms = _SYMS[:order]
+    factors = [params[f"factor_{i}"] for i in range(spec.order)]
+    if separable:
+        weight_syms = list(x_syms[1:])
+        out_syms = x_syms
+    else:
+        out_sym = _SYMS[order]
+        weight_syms = [x_syms[1], out_sym] + list(x_syms[2:])
+        out_syms = x_syms[0] + out_sym + x_syms[2:]
+    rank_syms = _SYMS[order + 1 :]
+    core_syms = [
+        rank_syms[i] + s + rank_syms[i + 1] for i, s in enumerate(weight_syms)
+    ]
+    eq = f"{x_syms},{','.join(core_syms)}->{out_syms}"
+    return complex_einsum(eq, x, *factors)
+
+
+def contract_block(
+    x: jnp.ndarray,
+    spec: FactorizationSpec,
+    params: Params,
+    separable: bool = False,
+    implementation: str = "reconstructed",
+):
+    """Dispatch the mode contraction (reference ``get_contract_fun``)."""
+    if implementation == "reconstructed" or spec.kind == "dense":
+        weight = to_tensor(spec, params)
+        return contract_dense(x, weight, separable=separable)
+    if implementation != "factorized":
+        raise ValueError(
+            f"implementation must be 'reconstructed' or 'factorized', got {implementation}"
+        )
+    if spec.kind == "cp":
+        return contract_cp(x, params, spec, separable=separable)
+    if spec.kind == "tucker":
+        return contract_tucker(x, params, spec, separable=separable)
+    if spec.kind == "tt":
+        return contract_tt(x, params, spec, separable=separable)
+    raise ValueError(f"Unknown factorization kind {spec.kind}")

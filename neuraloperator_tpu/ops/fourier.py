@@ -1,0 +1,215 @@
+"""TPU-first Fourier-domain mode truncation primitives.
+
+The reference SpectralConv (``/root/reference/neuralop/layers/
+spectral_convolution.py:417-570``) materializes the full spectrum, applies
+``fftshift`` (a full-array roll), slices a centered block of modes, contracts,
+``ifftshift``s and inverse-transforms. On TPU, full-array rolls are pure HBM
+bandwidth waste: the centered block of a shifted spectrum is exactly the
+concatenation of two *corner* slices of the unshifted spectrum. We therefore
+gather/scatter corner slices directly with static-shape ``concatenate``s,
+which XLA fuses with the surrounding FFTs — zero extra passes over HBM,
+bit-identical mode selection semantics.
+
+All functions here are shape-static and jit-friendly.
+"""
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+
+
+def kept_mode_counts(kept: int, size: int) -> Tuple[int, int]:
+    """Split ``kept`` centered modes into (negative, nonneg) frequency counts.
+
+    Matches the reference slicing (``spectral_convolution.py:500-512``):
+    after fftshift the center (0-frequency) sits at ``size // 2`` and the
+    selected block is ``[center - kept//2, center + kept//2 + kept%2)``.
+    In unshifted (natural FFT) order this is the last ``kept//2`` entries
+    (negative frequencies) followed by the first ``kept//2 + kept%2``
+    entries (0 and positive frequencies).
+    """
+    kept = min(kept, size)
+    neg = kept // 2
+    pos = kept // 2 + kept % 2
+    return neg, pos
+
+
+def gather_center_modes(
+    x: jnp.ndarray,
+    kept_modes: Sequence[int],
+    axes: Sequence[int],
+) -> jnp.ndarray:
+    """Extract the centered-mode block from an *unshifted* spectrum.
+
+    Equivalent to ``fftshift(x, axes)[..., center-neg:center+pos, ...]``
+    per axis, without the roll. Output ordering along each axis is
+    frequencies ``-neg, ..., -1, 0, 1, ..., pos-1`` — identical to the
+    reference's fftshift-centered order, so weights index identically.
+    """
+    for kept, ax in zip(kept_modes, axes):
+        size = x.shape[ax]
+        neg, pos = kept_mode_counts(kept, size)
+        if neg + pos >= size:
+            # keep the whole axis, but reorder into centered layout
+            if neg == 0:
+                continue
+            lo = jnp.take(x, jnp.arange(size - neg, size), axis=ax)
+            hi = jnp.take(x, jnp.arange(0, pos), axis=ax)
+            x = jnp.concatenate([lo, hi], axis=ax)
+            continue
+        idx_lo = [slice(None)] * x.ndim
+        idx_hi = [slice(None)] * x.ndim
+        idx_lo[ax] = slice(size - neg, size)
+        idx_hi[ax] = slice(0, pos)
+        parts = []
+        if neg:
+            parts.append(x[tuple(idx_lo)])
+        parts.append(x[tuple(idx_hi)])
+        x = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=ax)
+    return x
+
+
+def scatter_center_modes(
+    block: jnp.ndarray,
+    out_sizes: Sequence[int],
+    axes: Sequence[int],
+) -> jnp.ndarray:
+    """Embed a centered-mode block back into a zero spectrum (unshifted order).
+
+    Inverse of :func:`gather_center_modes`: along each axis the block holds
+    frequencies ``-neg..-1, 0..pos-1``; in natural FFT order that is
+    ``concat(block[neg:], zeros(size - neg - pos), block[:neg])``.
+    Implemented with static concatenates so XLA lowers it to cheap
+    pad-and-copy, fusible with the following inverse FFT.
+    """
+    x = block
+    for size, ax in zip(out_sizes, axes):
+        kept = x.shape[ax]
+        neg = kept // 2
+        pos = kept - neg
+        if kept > size:
+            raise ValueError(
+                f"block has {kept} modes along axis {ax} but target size is {size}"
+            )
+        if kept == size:
+            if neg == 0:
+                continue
+            lo = jnp.take(x, jnp.arange(neg, kept), axis=ax)
+            hi = jnp.take(x, jnp.arange(0, neg), axis=ax)
+            x = jnp.concatenate([lo, hi], axis=ax)
+            continue
+        idx_neg = [slice(None)] * x.ndim
+        idx_pos = [slice(None)] * x.ndim
+        idx_neg[ax] = slice(0, neg)
+        idx_pos[ax] = slice(neg, kept)
+        zshape = list(x.shape)
+        zshape[ax] = size - kept
+        zeros = jnp.zeros(zshape, dtype=x.dtype)
+        parts = [x[tuple(idx_pos)], zeros]
+        if neg:
+            parts.append(x[tuple(idx_neg)])
+        x = jnp.concatenate(parts, axis=ax)
+    return x
+
+
+def scatter_low_modes_last(
+    block: jnp.ndarray, size: int, axis: int = -1
+) -> jnp.ndarray:
+    """Zero-pad the (rfft, non-shifted) last axis up to ``size`` low modes."""
+    kept = block.shape[axis]
+    if kept == size:
+        return block
+    pad = [(0, 0)] * block.ndim
+    pad[axis if axis >= 0 else block.ndim + axis] = (0, size - kept)
+    return jnp.pad(block, pad)
+
+
+def irfft_hermitian(
+    spectrum: jnp.ndarray,
+    out_sizes: Sequence[int],
+    axes: Sequence[int],
+    norm: str = "forward",
+    enforce_hermitian_symmetry: bool = True,
+) -> jnp.ndarray:
+    """Inverse real FFT with explicit Hermitian enforcement.
+
+    The reference (``spectral_convolution.py:547-559``) splits the inverse
+    into ifftn over the first n-1 axes, zeroes the imaginary parts of the
+    0th/Nyquist bins of the last axis, then irfft. TPU backends only provide
+    FFTs over trailing contiguous axes, so we apply the mathematically
+    identical operation *in the frequency domain*: zeroing Im after an
+    inverse FFT along an axis equals Hermitian-symmetrizing along that axis
+    (Re(ifft(S)) = ifft((S + conj(S∘rev))/2), rev: k -> -k mod n). We
+    symmetrize the affected last-dim bins (0 and, for even output, Nyquist)
+    along all earlier axes and then run one ``irfftn`` over all axes —
+    elementwise complex ops plus a single fused C2R transform.
+    """
+    if enforce_hermitian_symmetry:
+        n_last = out_sizes[-1]
+        last_axis = axes[-1]
+        h = spectrum.shape[last_axis]
+        fix_bins = [0]
+        if n_last % 2 == 0 and h == n_last // 2 + 1:
+            fix_bins.append(h - 1)
+        for b in fix_bins:
+            idx = [slice(None)] * spectrum.ndim
+            idx[last_axis] = slice(b, b + 1)
+            col = spectrum[tuple(idx)]
+            rev = col
+            for ax in axes[:-1]:
+                rev = jnp.roll(jnp.flip(rev, axis=ax), 1, axis=ax)
+            sym = 0.5 * (col + jnp.conj(rev))
+            pre = [slice(None)] * spectrum.ndim
+            pre[last_axis] = slice(0, b)
+            post = [slice(None)] * spectrum.ndim
+            post[last_axis] = slice(b + 1, None)
+            spectrum = jnp.concatenate(
+                [spectrum[tuple(pre)], sym, spectrum[tuple(post)]],
+                axis=last_axis,
+            )
+    return jnp.fft.irfftn(spectrum, s=list(out_sizes), axes=list(axes), norm=norm)
+
+
+def resolve_weight_slices(
+    fft_size: Sequence[int],
+    n_modes: Sequence[int],
+    max_n_modes: Sequence[int],
+    separable: bool,
+    complex_data: bool,
+) -> Tuple[slice, ...]:
+    """Slices selecting the active centered modes of the full weight tensor.
+
+    Mirrors the reference exactly (``spectral_convolution.py:464-488``):
+    when ``n_modes < max_n_modes`` (incremental-FNO style), the kept modes
+    sit at the *center* of the weight tensor along each shifted dim, and at
+    the *start* along the rfft'd last dim.
+    """
+    starts = [
+        max_m - min(size, n_mode)
+        for (size, n_mode, max_m) in zip(fft_size, n_modes, max_n_modes)
+    ]
+    slices_w: List[slice] = [slice(None)] if separable else [slice(None)] * 2
+    if complex_data:
+        slices_w += [_center_slice(start) for start in starts]
+    else:
+        slices_w += [_center_slice(start) for start in starts[:-1]]
+        slices_w += [slice(None, -starts[-1]) if starts[-1] else slice(None)]
+    return tuple(slices_w)
+
+
+def _center_slice(start: int) -> slice:
+    """``slice(start//2, -start//2)`` with Python floor-division semantics.
+
+    For odd ``start`` the extra removed entry comes off the *end*
+    (e.g. start=3 -> slice(1, -2)), matching the reference exactly.
+    """
+    if not start:
+        return slice(None)
+    return slice(start // 2, -start // 2)
+
+
+def reference_weight_slice(start: int, is_last_real: bool) -> slice:
+    """Single-axis version of :func:`resolve_weight_slices` for factor slicing."""
+    if is_last_real:
+        return slice(None, -start) if start else slice(None)
+    return _center_slice(start)

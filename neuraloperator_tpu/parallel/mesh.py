@@ -1,0 +1,129 @@
+"""Device-mesh bookkeeping: the TPU-native replacement for ``neuralop/mpu``.
+
+The reference manages NCCL process groups (``mpu/comm.py:104-198``) with
+contiguous model-parallel and strided data-parallel groups. On TPU the same
+roles are axes of one ``jax.sharding.Mesh``:
+
+* ``"data"`` — data parallelism (sharded batch; XLA inserts gradient psums)
+* ``"model"`` — model parallelism (sharded channels/spatial dims; XLA
+  inserts all-gathers/all-to-alls over ICI)
+
+Collectives are differentiable by construction in JAX, so the autograd
+wrappers of ``mpu/mappings.py`` have no equivalent here — sharding
+annotations subsume them.
+"""
+
+from contextlib import contextmanager
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+_CURRENT_MESH: Optional[Mesh] = None
+
+
+def init(
+    model_parallel_size: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a ('data', 'model') mesh over the available devices.
+
+    Mirrors ``mpu.comm.init(model_parallel_size)``: the world is split into
+    model-parallel groups of the given size; the rest is data parallelism.
+    """
+    global _CURRENT_MESH
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    assert n % model_parallel_size == 0, (
+        f"world size {n} not divisible by model_parallel_size={model_parallel_size}"
+    )
+    dp = n // model_parallel_size
+    arr = np.asarray(devices).reshape(dp, model_parallel_size)
+    _CURRENT_MESH = Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+    return _CURRENT_MESH
+
+
+def get_mesh() -> Optional[Mesh]:
+    return _CURRENT_MESH
+
+
+def get_data_parallel_size() -> int:
+    return _CURRENT_MESH.shape[DATA_AXIS] if _CURRENT_MESH else 1
+
+
+def get_model_parallel_size() -> int:
+    return _CURRENT_MESH.shape[MODEL_AXIS] if _CURRENT_MESH else 1
+
+
+@contextmanager
+def use_mesh(mesh: Mesh):
+    global _CURRENT_MESH
+    prev = _CURRENT_MESH
+    _CURRENT_MESH = mesh
+    try:
+        with mesh:
+            yield mesh
+    finally:
+        _CURRENT_MESH = prev
+
+
+def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard dim 0 (batch) over the data axis, replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def shard_batch(batch: dict, mesh: Optional[Mesh] = None) -> dict:
+    """Place a dict batch on the mesh with batch-dim sharding."""
+    mesh = mesh or _CURRENT_MESH
+    if mesh is None:
+        return batch
+    out = {}
+    for k, v in batch.items():
+        v = jax.numpy.asarray(v)
+        out[k] = jax.device_put(v, batch_sharding(mesh, v.ndim))
+    return out
+
+
+def replicate(tree, mesh: Optional[Mesh] = None):
+    """Fully replicate a pytree over the mesh."""
+    mesh = mesh or _CURRENT_MESH
+    if mesh is None:
+        return tree
+    return jax.device_put(
+        tree, NamedSharding(mesh, P())
+    )
+
+
+def spectral_weight_sharding(mesh: Mesh):
+    """Shard spectral weights' out-channel dim over the model axis.
+
+    Weight storage layout is (2, in, out, modes...) — see
+    ``layers/spectral_convolution.py`` — so out-channels is dim 2.
+    This is the tensor-parallel layout: each device owns an out-channel
+    shard, activations all-gather over ICI only at layer boundaries.
+    """
+    def shard_leaf(path, leaf):
+        name = "/".join(str(p) for p in path)
+        if "w_" in name and leaf.ndim >= 4:
+            spec = [None] * leaf.ndim
+            spec[2] = MODEL_AXIS
+            return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return shard_leaf
+
+
+def shard_params(params, mesh: Optional[Mesh] = None):
+    """Apply tensor-parallel sharding to an FNO parameter pytree."""
+    mesh = mesh or _CURRENT_MESH
+    if mesh is None:
+        return params
+    shard_fn = spectral_weight_sharding(mesh)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    out = [jax.device_put(leaf, shard_fn(path, leaf)) for path, leaf in flat]
+    return jax.tree_util.tree_unflatten(treedef, out)

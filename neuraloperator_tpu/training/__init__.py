@@ -1,0 +1,4 @@
+from .optimizer import adamw, cosine_annealing, step_lr  # noqa: F401
+from .trainer import Trainer  # noqa: F401
+from .training_state import load_training_state, save_training_state  # noqa: F401
+from .incremental import IncrementalFNOTrainer  # noqa: F401

@@ -1,0 +1,247 @@
+"""Trainer: epoch loop, jitted train/eval steps, checkpointing, resume.
+
+Equivalent of reference ``neuralop/training/trainer.py``: dict batches
+``{'x', 'y', ...}`` flow through ``data_processor.preprocess`` -> model ->
+``postprocess`` -> loss; eval computes a ``{loader}_{loss}`` metric dict;
+checkpoints save best/interval state on the host.
+
+TPU-native structure: the entire train step (preprocess, forward, loss,
+backward, optimizer update) is one jitted, donated function. Data
+parallelism is a sharded batch dim on a ('data','model') mesh — no DDP
+wrapper; XLA inserts the gradient psum.
+"""
+
+import time
+from pathlib import Path
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..losses import LpLoss
+from ..parallel import mesh as mesh_lib
+from .training_state import load_training_state, save_training_state
+
+
+class Trainer:
+    """See reference Trainer (training/trainer.py:27-822) for semantics."""
+
+    def __init__(
+        self,
+        *,
+        model,
+        n_epochs: int,
+        wandb_log: bool = False,
+        device=None,
+        mesh=None,
+        mixed_precision: bool = False,
+        data_processor=None,
+        eval_interval: int = 1,
+        log_output: bool = False,
+        use_distributed: bool = False,
+        verbose: bool = False,
+    ):
+        self.model = model
+        self.n_epochs = n_epochs
+        self.wandb_log = wandb_log
+        self.mesh = mesh or (mesh_lib.get_mesh() if use_distributed else None)
+        self.mixed_precision = mixed_precision
+        self.data_processor = data_processor
+        self.eval_interval = eval_interval
+        self.log_output = log_output
+        self.verbose = verbose
+
+        self.params = None
+        self.opt_state = None
+        self.start_epoch = 0
+        self._train_step = None
+        self._eval_steps: Dict[str, Callable] = {}
+
+    # ------------------------------------------------------------------ #
+    def _init_params(self, sample_x):
+        rng = jax.random.PRNGKey(0)
+        variables = self.model.init(rng, jnp.asarray(sample_x))
+        return variables["params"]
+
+    def _model_kwargs_from_sample(self, sample: dict) -> dict:
+        """Extra kwargs forwarded to the model (beyond 'x')."""
+        return {
+            k: v
+            for k, v in sample.items()
+            if k not in ("x", "y")
+        }
+
+    def _build_train_step(self, optimizer, training_loss):
+        data_processor = self.data_processor
+        model = self.model
+
+        def loss_fn(params, batch):
+            sample = dict(batch)
+            if data_processor is not None:
+                sample = data_processor.preprocess(sample, train=True)
+            out = model.apply({"params": params}, sample["x"])
+            if data_processor is not None:
+                out, sample = data_processor.postprocess(out, sample, train=True)
+            return training_loss(out, sample["y"])
+
+        def step(params, opt_state, batch):
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def _build_eval_step(self, eval_losses):
+        data_processor = self.data_processor
+        model = self.model
+
+        def step(params, batch):
+            sample = dict(batch)
+            if data_processor is not None:
+                sample = data_processor.preprocess(sample, train=False)
+            out = model.apply({"params": params}, sample["x"])
+            if data_processor is not None:
+                out, sample = data_processor.postprocess(out, sample, train=False)
+            return {
+                name: loss(out, sample["y"]) for name, loss in eval_losses.items()
+            }
+
+        return jax.jit(step)
+
+    def _put(self, batch: dict) -> dict:
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if self.mesh is not None:
+            batch = mesh_lib.shard_batch(batch, self.mesh)
+        return batch
+
+    # ------------------------------------------------------------------ #
+    def train(
+        self,
+        train_loader,
+        test_loaders: Dict,
+        optimizer,
+        scheduler=None,  # kept for API parity; fold schedules into optimizer
+        regularizer=None,
+        training_loss=None,
+        eval_losses=None,
+        save_every: Optional[int] = None,
+        save_best: Optional[str] = None,
+        save_dir="./ckpt",
+        resume_from_dir=None,
+    ) -> Dict[str, float]:
+        if training_loss is None:
+            training_loss = LpLoss(d=2)
+        if eval_losses is None:
+            eval_losses = {"l2": LpLoss(d=2)}
+
+        first_batch = next(iter(train_loader))
+        if self.params is None:
+            self.params = self._init_params(first_batch["x"][:1])
+        self.opt_state = optimizer.init(self.params)
+
+        if resume_from_dir is not None and Path(resume_from_dir).exists():
+            self.params, opt_state, epoch = load_training_state(
+                resume_from_dir, "model", self.params, self.opt_state
+            )
+            if opt_state is not None:
+                self.opt_state = opt_state
+            if epoch is not None:
+                self.start_epoch = epoch + 1
+            if self.verbose:
+                print(f"resuming from {resume_from_dir} at epoch {self.start_epoch}")
+
+        if self.mesh is not None:
+            self.params = mesh_lib.shard_params(self.params, self.mesh)
+            self.opt_state = jax.device_put(
+                self.opt_state,
+                jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec()),
+            )
+
+        train_step = self._build_train_step(optimizer, training_loss)
+        eval_step = self._build_eval_step(eval_losses)
+
+        best_metric = float("inf")
+        best_params = None
+        all_metrics: Dict[str, float] = {}
+
+        for epoch in range(self.start_epoch, self.n_epochs):
+            t0 = time.perf_counter()
+            if self.data_processor is not None and hasattr(
+                self.data_processor, "step"
+            ):
+                self.data_processor.step(epoch)
+            train_err = 0.0
+            n_batches = 0
+            for batch in train_loader:
+                batch = self._put(batch)
+                self.params, self.opt_state, loss = train_step(
+                    self.params, self.opt_state, batch
+                )
+                train_err += float(loss)
+                n_batches += 1
+            train_err /= max(n_batches, 1)
+            epoch_time = time.perf_counter() - t0
+            all_metrics["train_err"] = train_err
+            all_metrics["epoch_time"] = epoch_time
+
+            if epoch % self.eval_interval == 0 or epoch == self.n_epochs - 1:
+                eval_metrics = self.evaluate_all(eval_step, test_loaders)
+                all_metrics.update(eval_metrics)
+                if self.verbose:
+                    msg = ", ".join(
+                        f"{k}={v:.5f}" for k, v in eval_metrics.items()
+                    )
+                    print(
+                        f"[{epoch}] time={epoch_time:.2f}s "
+                        f"train={train_err:.5f} {msg}"
+                    )
+                if save_best is not None:
+                    metric = eval_metrics.get(save_best)
+                    if metric is not None and metric < best_metric:
+                        best_metric = metric
+                        best_params = jax.device_get(self.params)
+                        save_training_state(
+                            save_dir, "best_model", best_params, epoch=epoch
+                        )
+            if save_every is not None and epoch % save_every == 0:
+                save_training_state(
+                    save_dir, "model", self.params, self.opt_state, epoch=epoch
+                )
+
+        if save_every is not None or save_best is not None:
+            save_training_state(
+                save_dir,
+                "model",
+                self.params,
+                self.opt_state,
+                epoch=self.n_epochs - 1,
+            )
+        return all_metrics
+
+    # ------------------------------------------------------------------ #
+    def evaluate_all(self, eval_step, test_loaders: Dict) -> Dict[str, float]:
+        metrics = {}
+        for loader_name, loader in test_loaders.items():
+            metrics.update(self.evaluate(eval_step, loader, prefix=str(loader_name)))
+        return metrics
+
+    def evaluate(self, eval_step, loader, prefix: str) -> Dict[str, float]:
+        """Single-step evaluation: mean of per-batch sums / n_samples.
+
+        Matches reference ``Trainer.evaluate`` (trainer.py:385-468) with
+        'sum'-reduction losses.
+        """
+        totals: Dict[str, float] = {}
+        n_samples = 0
+        for batch in loader:
+            bsz = len(batch["x"])
+            vals = eval_step(self.params, self._put(batch))
+            for k, v in vals.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+            n_samples += bsz
+        return {
+            f"{prefix}_{k}": v / max(n_samples, 1) for k, v in totals.items()
+        }

@@ -1,0 +1,69 @@
+"""Training-state persistence (checkpoint/resume).
+
+Equivalent of reference ``neuralop/training/training_state.py``: saves
+model parameters (+best copy), optimizer state and an epoch manifest under a
+directory; loads them back given matching templates. Serialization is flax
+msgpack (pure arrays — no pickles).
+"""
+
+import json
+from pathlib import Path
+from typing import Optional
+
+import flax.serialization
+import jax
+
+
+def save_training_state(
+    save_dir,
+    save_name: str,
+    params,
+    opt_state=None,
+    epoch: Optional[int] = None,
+    best_params=None,
+    extra_manifest: Optional[dict] = None,
+) -> Path:
+    """Write {save_name}.msgpack (+ optimizer.msgpack, manifest.json)."""
+    save_dir = Path(save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    params = jax.device_get(params)
+    (save_dir / f"{save_name}.msgpack").write_bytes(
+        flax.serialization.to_bytes(params)
+    )
+    if best_params is not None:
+        (save_dir / "best_model.msgpack").write_bytes(
+            flax.serialization.to_bytes(jax.device_get(best_params))
+        )
+    if opt_state is not None:
+        (save_dir / "optimizer.msgpack").write_bytes(
+            flax.serialization.to_bytes(jax.device_get(opt_state))
+        )
+    manifest = {"epoch": epoch}
+    if extra_manifest:
+        manifest.update(extra_manifest)
+    (save_dir / "manifest.json").write_text(json.dumps(manifest))
+    return save_dir
+
+
+def load_training_state(
+    save_dir,
+    save_name: str,
+    params_template,
+    opt_state_template=None,
+):
+    """Restore (params, opt_state, epoch) saved by save_training_state."""
+    save_dir = Path(save_dir)
+    params = flax.serialization.from_bytes(
+        params_template, (save_dir / f"{save_name}.msgpack").read_bytes()
+    )
+    opt_state = None
+    opt_path = save_dir / "optimizer.msgpack"
+    if opt_state_template is not None and opt_path.exists():
+        opt_state = flax.serialization.from_bytes(
+            opt_state_template, opt_path.read_bytes()
+        )
+    epoch = None
+    manifest_path = save_dir / "manifest.json"
+    if manifest_path.exists():
+        epoch = json.loads(manifest_path.read_text()).get("epoch")
+    return params, opt_state, epoch

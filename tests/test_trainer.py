@@ -1,0 +1,97 @@
+"""Trainer integration: training reduces loss, checkpoint/resume roundtrip.
+
+Mirrors reference training/tests/test_trainer.py with a small FNO instead of
+the DummyModel (our train step is jitted end-to-end).
+"""
+
+import numpy as np
+import pytest
+
+from neuraloperator_tpu.data.datasets import DataLoader, TensorDataset
+from neuraloperator_tpu.losses import LpLoss
+from neuraloperator_tpu.models import FNO
+from neuraloperator_tpu.training import Trainer, adamw, step_lr
+
+
+def _toy_problem(n=32, res=8):
+    rng = np.random.RandomState(0)
+    x = rng.randn(n, 1, res, res).astype(np.float32)
+    # target: smoothed input (a simple linear operator an FNO can learn)
+    y = np.roll(x, 1, axis=-1) + 0.5 * x
+    return TensorDataset(x, y)
+
+
+def _small_model():
+    return FNO(
+        n_modes=(4, 4), in_channels=1, out_channels=1, hidden_channels=8,
+        n_layers=2,
+    )
+
+
+def test_training_reduces_loss(tmp_path):
+    ds = _toy_problem()
+    loader = DataLoader(ds, batch_size=8, shuffle=True)
+    test_loader = {8: DataLoader(ds, batch_size=8)}
+    model = _small_model()
+    trainer = Trainer(model=model, n_epochs=5, eval_interval=5)
+    l2 = LpLoss(d=2)
+    opt = adamw(1e-2)
+    metrics = trainer.train(
+        loader, test_loader, opt, training_loss=l2, eval_losses={"l2": l2}
+    )
+    first = Trainer(model=model, n_epochs=1, eval_interval=1)
+    m0 = first.train(loader, test_loader, adamw(0.0), training_loss=l2,
+                     eval_losses={"l2": l2})
+    assert metrics["8_l2"] < m0["8_l2"]
+
+
+def test_checkpoint_resume_roundtrip(tmp_path):
+    ds = _toy_problem()
+    loader = DataLoader(ds, batch_size=8)
+    test_loaders = {8: DataLoader(ds, batch_size=8)}
+    model = _small_model()
+    l2 = LpLoss(d=2)
+    save_dir = tmp_path / "ckpt"
+
+    trainer = Trainer(model=model, n_epochs=3)
+    trainer.train(
+        loader, test_loaders, adamw(1e-3), training_loss=l2,
+        eval_losses={"l2": l2}, save_every=1, save_dir=save_dir,
+    )
+    assert (save_dir / "model.msgpack").exists()
+    assert (save_dir / "optimizer.msgpack").exists()
+    assert (save_dir / "manifest.json").exists()
+
+    params_before = trainer.params
+
+    resumed = Trainer(model=model, n_epochs=3)
+    resumed.train(
+        loader, test_loaders, adamw(1e-3), training_loss=l2,
+        eval_losses={"l2": l2}, resume_from_dir=save_dir,
+    )
+    # resume starts from saved epoch -> start_epoch == 3 -> no extra training
+    assert resumed.start_epoch == 3
+    for a, b in zip(
+        np.asarray(jax_leaves(params_before)), np.asarray(jax_leaves(resumed.params))
+    ):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def jax_leaves(tree):
+    import jax
+
+    return [np.asarray(leaf) for leaf in jax.tree_util.tree_leaves(tree)]
+
+
+def test_save_best(tmp_path):
+    ds = _toy_problem()
+    loader = DataLoader(ds, batch_size=8)
+    test_loaders = {"test": DataLoader(ds, batch_size=8)}
+    model = _small_model()
+    l2 = LpLoss(d=2)
+    trainer = Trainer(model=model, n_epochs=2, eval_interval=1)
+    trainer.train(
+        loader, test_loaders, adamw(1e-3), training_loss=l2,
+        eval_losses={"l2": l2}, save_best="test_l2", save_dir=tmp_path / "best",
+    )
+    assert (tmp_path / "best" / "best_model.msgpack").exists()
