@@ -157,7 +157,16 @@ def irfft_hermitian(
             col = spectrum[tuple(idx)]
             rev = col
             for ax in axes[:-1]:
-                rev = jnp.roll(jnp.flip(rev, axis=ax), 1, axis=ax)
+                # frequency reversal k -> -k mod n, expressed as concats
+                # (avoids complex roll, which some TPU runtimes lack)
+                head = [slice(None)] * rev.ndim
+                tail = [slice(None)] * rev.ndim
+                head[ax] = slice(0, 1)
+                tail[ax] = slice(1, None)
+                rev = jnp.concatenate(
+                    [rev[tuple(head)], jnp.flip(rev[tuple(tail)], axis=ax)],
+                    axis=ax,
+                )
             sym = 0.5 * (col + jnp.conj(rev))
             pre = [slice(None)] * spectrum.ndim
             pre[last_axis] = slice(0, b)
