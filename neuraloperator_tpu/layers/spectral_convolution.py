@@ -30,7 +30,7 @@ import numpy as np
 from ..ops.contractions import contract_block
 from ..ops.fourier import (
     gather_center_modes,
-    irfft_hermitian,
+    hermitianize_parts,
     kept_mode_counts,
     resolve_weight_slices,
     scatter_center_modes,
@@ -272,15 +272,20 @@ def spectral_conv_forward(
     if fno_block_precision == "half":
         x = x.astype(jnp.bfloat16).astype(jnp.float32)
 
+    # FFT is the only op allowed to touch complex dtypes; everything between
+    # the transforms runs on a stacked (2, ...) real array so restrictive
+    # TPU runtimes (no complex dot_general/roll/non-trailing-axis FFTs)
+    # never see a complex HLO op.
     if complex_data:
         xf = jnp.fft.fftn(x, norm=fft_norm, axes=fft_axes)
         shifted_axes = fft_axes
     else:
         xf = jnp.fft.rfftn(x.astype(jnp.float32), norm=fft_norm, axes=fft_axes)
         shifted_axes = fft_axes[:-1]
+    X = jnp.stack([jnp.real(xf), jnp.imag(xf)])  # (2, b, c, modes...)
 
     if fno_block_precision in ("half", "mixed"):
-        xf = _simulate_half_complex(xf)
+        X = X.astype(jnp.bfloat16).astype(jnp.float32)
 
     # --- slice active modes out of the stored weight (centered) ---
     slices_w = resolve_weight_slices(
@@ -291,11 +296,12 @@ def spectral_conv_forward(
     kept = list(spec_s.shape[w_mode_start:])
 
     # --- gather the matching centered block of the spectrum ---
+    # negative axes index the same spatial dims despite the leading stack dim
     if complex_data:
-        block = gather_center_modes(xf, kept, shifted_axes)
+        block = gather_center_modes(X, kept, shifted_axes)
     else:
         kept_last = min(kept[-1], fft_size[-1])
-        block = gather_center_modes(xf, kept[:-1], shifted_axes)
+        block = gather_center_modes(X, kept[:-1], shifted_axes)
         idx = [slice(None)] * block.ndim
         idx[-1] = slice(0, kept_last)
         block = block[tuple(idx)]
@@ -305,10 +311,16 @@ def spectral_conv_forward(
             trim[-1] = slice(0, kept_last)
             spec_s, params_s = slice_factors(spec_s, params_s, trim)
 
-    # --- contract on the MXU ---
-    out_block = contract_block(
-        block, spec_s, params_s, separable=separable, implementation=implementation
+    # --- contract on the MXU (split real/imag -> real matmuls) ---
+    out_r, out_i = contract_block(
+        (block[0], block[1]),
+        spec_s,
+        params_s,
+        separable=separable,
+        implementation=implementation,
+        return_parts=True,
     )
+    OUT = jnp.stack([out_r, out_i])
 
     # --- output resolution ---
     out_sizes = list(mode_sizes)
@@ -321,25 +333,27 @@ def spectral_conv_forward(
 
     # --- scatter into the target spectrum and inverse transform ---
     if complex_data:
-        out_block = _shrink_centered(out_block, out_sizes, fft_axes)
-        spectrum = scatter_center_modes(out_block, out_sizes, fft_axes)
-        y = jnp.fft.ifftn(spectrum, axes=fft_axes, norm=fft_norm)
+        OUT = _shrink_centered(OUT, out_sizes, fft_axes)
+        S = scatter_center_modes(OUT, out_sizes, fft_axes)
+        y = jnp.fft.ifftn(
+            jax.lax.complex(S[0], S[1]), axes=fft_axes, norm=fft_norm
+        )
     else:
         half = out_sizes[-1] // 2 + 1
-        out_block = _shrink_centered(out_block, out_sizes[:-1], fft_axes[:-1])
-        idx = [slice(None)] * out_block.ndim
-        idx[-1] = slice(0, min(out_block.shape[-1], half))
-        out_block = out_block[tuple(idx)]
-        spectrum = scatter_center_modes(
-            out_block, out_sizes[:-1], fft_axes[:-1]
-        )
-        spectrum = scatter_low_modes_last(spectrum, half, axis=-1)
-        y = irfft_hermitian(
-            spectrum,
-            out_sizes,
-            fft_axes,
+        OUT = _shrink_centered(OUT, out_sizes[:-1], fft_axes[:-1])
+        idx = [slice(None)] * OUT.ndim
+        idx[-1] = slice(0, min(OUT.shape[-1], half))
+        OUT = OUT[tuple(idx)]
+        S = scatter_center_modes(OUT, out_sizes[:-1], fft_axes[:-1])
+        S = scatter_low_modes_last(S, half, axis=-1)
+        re, im = S[0], S[1]
+        if enforce_hermitian_symmetry:
+            re, im = hermitianize_parts(re, im, out_sizes, fft_axes)
+        y = jnp.fft.irfftn(
+            jax.lax.complex(re, im),
+            s=out_sizes,
+            axes=fft_axes,
             norm=fft_norm,
-            enforce_hermitian_symmetry=enforce_hermitian_symmetry,
         )
 
     if fno_block_precision in ("half", "mixed"):

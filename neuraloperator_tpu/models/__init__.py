@@ -11,3 +11,5 @@ from .fno import FNO, TFNO  # noqa: F401
 from .uno import UNO  # noqa: F401
 from .uqno import UQNO  # noqa: F401
 from .sfno import SFNO  # noqa: F401
+from .gino import GINO  # noqa: F401
+from .fnogno import FNOGNO  # noqa: F401

@@ -51,28 +51,37 @@ def _single_complex(eq: str, a):
 
 
 def split_complex(x) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    if isinstance(x, tuple):
+        return x
     if jnp.iscomplexobj(x):
         return jnp.real(x), jnp.imag(x)
     return x, jnp.zeros_like(x)
 
 
-def complex_einsum(eq: str, *ops) -> jnp.ndarray:
+def complex_einsum(eq: str, *ops, return_parts: bool = False):
     """Evaluate a complex einsum without complex dot_general.
 
-    Accepts complex (or real) operands; returns a complex array. The
-    contraction order comes from ``np.einsum_path`` on the static shapes.
+    Operands may be complex arrays, real arrays, or ``(re, im)`` tuples of
+    real arrays; with ``return_parts=True`` the result is an ``(re, im)``
+    tuple (keeping the whole pipeline complex-dtype-free). The contraction
+    order comes from ``np.einsum_path`` on the static shapes.
     """
     inputs, output = eq.replace(" ", "").split("->")
     subs: List[str] = inputs.split(",")
     assert len(subs) == len(ops)
 
-    parts = [split_complex(jnp.asarray(op)) for op in ops]
+    parts = [split_complex(op) for op in ops]
+
+    def finish(r, i):
+        return (r, i) if return_parts else jax.lax.complex(r, i)
 
     if len(ops) == 1:
         r, i = _single_complex(f"{subs[0]}->{output}", parts[0])
-        return jax.lax.complex(r, i)
+        return finish(r, i)
 
-    dummies = [np.broadcast_to(np.float32(0), op.shape) for op in ops]
+    dummies = [
+        np.broadcast_to(np.float32(0), p[0].shape) for p in parts
+    ]
     path, _ = np.einsum_path(eq, *dummies, optimize="optimal")
     path = path[1:]  # first entry is the string 'einsum_path'
 
@@ -114,4 +123,4 @@ def complex_einsum(eq: str, *ops) -> jnp.ndarray:
     r, im = work_ops[0]
     if final_sub != output:
         r, im = _single_complex(f"{final_sub}->{output}", (r, im))
-    return jax.lax.complex(r, im)
+    return finish(r, im)

@@ -18,30 +18,47 @@ from .complex_einsum import complex_einsum
 _SYMS = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
 
 
-def contract_dense(x: jnp.ndarray, weight: jnp.ndarray, separable: bool = False):
+def contract_dense(x, weight, separable: bool = False, return_parts: bool = False):
     """x: (b, i, m...), weight: (i, o, m...) -> (b, o, m...).
 
-    Separable: weight (i, m...) multiplies x elementwise (reference
-    ``_contract_dense_separable``).
+    ``x`` may be a complex array or an (re, im) tuple of real arrays;
+    likewise the output with ``return_parts``. Separable: weight (i, m...)
+    multiplies x elementwise (reference ``_contract_dense_separable``).
     """
+    from .complex_einsum import split_complex
+
     if separable:
-        return x * weight[None]
-    order = x.ndim
+        xr, xi = split_complex(x)
+        wr, wi = split_complex(weight)
+        wr, wi = wr[None], wi[None]
+        out = (xr * wr - xi * wi, xr * wi + xi * wr)
+        if return_parts:
+            return out
+        import jax
+
+        return jax.lax.complex(*out)
+    order = split_complex(x)[0].ndim
     x_syms = _SYMS[:order]  # b, i, modes...
     out_sym = _SYMS[order]
     weight_syms = x_syms[1] + out_sym + x_syms[2:]
     out_syms = x_syms[0] + out_sym + x_syms[2:]
-    return complex_einsum(f"{x_syms},{weight_syms}->{out_syms}", x, weight)
+    return complex_einsum(
+        f"{x_syms},{weight_syms}->{out_syms}", x, weight,
+        return_parts=return_parts,
+    )
 
 
 def contract_cp(
-    x: jnp.ndarray, params: Params, spec: FactorizationSpec, separable: bool = False
+    x, params: Params, spec: FactorizationSpec, separable: bool = False,
+    return_parts: bool = False,
 ):
     """CP contraction: rank-summed product of per-dim factors.
 
     Mirrors reference ``_contract_cp`` (spectral_convolution.py:55-73).
     """
-    order = x.ndim
+    from .complex_einsum import split_complex
+
+    order = split_complex(x)[0].ndim
     x_syms = _SYMS[:order]
     rank_sym = _SYMS[order]
     out_sym = _SYMS[order + 1]
@@ -54,17 +71,22 @@ def contract_cp(
         factor_syms = [x_syms[1] + rank_sym, out_sym + rank_sym]
     factor_syms += [s + rank_sym for s in x_syms[2:]]
     eq = f"{x_syms},{rank_sym},{','.join(factor_syms)}->{out_syms}"
-    return complex_einsum(eq, x, params["lambdas"], *factors)
+    return complex_einsum(
+        eq, x, params["lambdas"], *factors, return_parts=return_parts
+    )
 
 
 def contract_tucker(
-    x: jnp.ndarray, params: Params, spec: FactorizationSpec, separable: bool = False
+    x, params: Params, spec: FactorizationSpec, separable: bool = False,
+    return_parts: bool = False,
 ):
     """Tucker contraction: core tensor with per-dim factor matrices.
 
     Mirrors reference ``_contract_tucker`` (spectral_convolution.py:76-103).
     """
-    order = x.ndim
+    from .complex_einsum import split_complex
+
+    order = split_complex(x)[0].ndim
     x_syms = _SYMS[:order]
     out_sym = _SYMS[order]
     factors = [params[f"factor_{i}"] for i in range(spec.order)]
@@ -78,17 +100,22 @@ def contract_tucker(
         factor_syms = [x_syms[1] + core_syms[0], out_sym + core_syms[1]]
         factor_syms += [xs + rs for xs, rs in zip(x_syms[2:], core_syms[2:])]
     eq = f"{x_syms},{core_syms},{','.join(factor_syms)}->{out_syms}"
-    return complex_einsum(eq, x, params["core"], *factors)
+    return complex_einsum(
+        eq, x, params["core"], *factors, return_parts=return_parts
+    )
 
 
 def contract_tt(
-    x: jnp.ndarray, params: Params, spec: FactorizationSpec, separable: bool = False
+    x, params: Params, spec: FactorizationSpec, separable: bool = False,
+    return_parts: bool = False,
 ):
     """Tensor-train contraction: chain of 3-way cores.
 
     Mirrors reference ``_contract_tt`` (spectral_convolution.py:106-132).
     """
-    order = x.ndim
+    from .complex_einsum import split_complex
+
+    order = split_complex(x)[0].ndim
     x_syms = _SYMS[:order]
     factors = [params[f"factor_{i}"] for i in range(spec.order)]
     if separable:
@@ -103,28 +130,30 @@ def contract_tt(
         rank_syms[i] + s + rank_syms[i + 1] for i, s in enumerate(weight_syms)
     ]
     eq = f"{x_syms},{','.join(core_syms)}->{out_syms}"
-    return complex_einsum(eq, x, *factors)
+    return complex_einsum(eq, x, *factors, return_parts=return_parts)
 
 
 def contract_block(
-    x: jnp.ndarray,
+    x,
     spec: FactorizationSpec,
     params: Params,
     separable: bool = False,
     implementation: str = "reconstructed",
+    return_parts: bool = False,
 ):
     """Dispatch the mode contraction (reference ``get_contract_fun``)."""
+    kw = dict(separable=separable, return_parts=return_parts)
     if implementation == "reconstructed" or spec.kind == "dense":
         weight = to_tensor(spec, params)
-        return contract_dense(x, weight, separable=separable)
+        return contract_dense(x, weight, **kw)
     if implementation != "factorized":
         raise ValueError(
             f"implementation must be 'reconstructed' or 'factorized', got {implementation}"
         )
     if spec.kind == "cp":
-        return contract_cp(x, params, spec, separable=separable)
+        return contract_cp(x, params, spec, **kw)
     if spec.kind == "tucker":
-        return contract_tucker(x, params, spec, separable=separable)
+        return contract_tucker(x, params, spec, **kw)
     if spec.kind == "tt":
-        return contract_tt(x, params, spec, separable=separable)
+        return contract_tt(x, params, spec, **kw)
     raise ValueError(f"Unknown factorization kind {spec.kind}")

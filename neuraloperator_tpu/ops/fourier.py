@@ -15,6 +15,7 @@ All functions here are shape-static and jit-friendly.
 
 from typing import List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -144,39 +145,57 @@ def irfft_hermitian(
     along all earlier axes and then run one ``irfftn`` over all axes —
     elementwise complex ops plus a single fused C2R transform.
     """
+    re, im = jnp.real(spectrum), jnp.imag(spectrum)
     if enforce_hermitian_symmetry:
-        n_last = out_sizes[-1]
-        last_axis = axes[-1]
-        h = spectrum.shape[last_axis]
-        fix_bins = [0]
-        if n_last % 2 == 0 and h == n_last // 2 + 1:
-            fix_bins.append(h - 1)
-        for b in fix_bins:
-            idx = [slice(None)] * spectrum.ndim
-            idx[last_axis] = slice(b, b + 1)
-            col = spectrum[tuple(idx)]
-            rev = col
-            for ax in axes[:-1]:
-                # frequency reversal k -> -k mod n, expressed as concats
-                # (avoids complex roll, which some TPU runtimes lack)
-                head = [slice(None)] * rev.ndim
-                tail = [slice(None)] * rev.ndim
+        re, im = hermitianize_parts(re, im, out_sizes, axes)
+    return jnp.fft.irfftn(
+        jax.lax.complex(re, im), s=list(out_sizes), axes=list(axes), norm=norm
+    )
+
+
+def hermitianize_parts(re, im, out_sizes, axes):
+    """Hermitian-symmetrize the DC/Nyquist last-dim bins, split-real form.
+
+    Operates purely on real arrays (concat/flip/negate), so no complex op
+    beyond the surrounding FFTs is required on restrictive TPU runtimes.
+    """
+    n_last = out_sizes[-1]
+    last_axis = axes[-1]
+    h = re.shape[last_axis]
+    fix_bins = [0]
+    if n_last % 2 == 0 and h == n_last // 2 + 1:
+        fix_bins.append(h - 1)
+    for b in fix_bins:
+        idx = [slice(None)] * re.ndim
+        idx[last_axis] = slice(b, b + 1)
+        col_r, col_i = re[tuple(idx)], im[tuple(idx)]
+        rev_r, rev_i = col_r, col_i
+        for ax in axes[:-1]:
+            # frequency reversal k -> -k mod n, expressed as concats
+            def rev1(a, ax=ax):
+                head = [slice(None)] * a.ndim
+                tail = [slice(None)] * a.ndim
                 head[ax] = slice(0, 1)
                 tail[ax] = slice(1, None)
-                rev = jnp.concatenate(
-                    [rev[tuple(head)], jnp.flip(rev[tuple(tail)], axis=ax)],
+                return jnp.concatenate(
+                    [a[tuple(head)], jnp.flip(a[tuple(tail)], axis=ax)],
                     axis=ax,
                 )
-            sym = 0.5 * (col + jnp.conj(rev))
-            pre = [slice(None)] * spectrum.ndim
-            pre[last_axis] = slice(0, b)
-            post = [slice(None)] * spectrum.ndim
-            post[last_axis] = slice(b + 1, None)
-            spectrum = jnp.concatenate(
-                [spectrum[tuple(pre)], sym, spectrum[tuple(post)]],
-                axis=last_axis,
-            )
-    return jnp.fft.irfftn(spectrum, s=list(out_sizes), axes=list(axes), norm=norm)
+
+            rev_r, rev_i = rev1(rev_r), rev1(rev_i)
+        sym_r = 0.5 * (col_r + rev_r)
+        sym_i = 0.5 * (col_i - rev_i)
+        pre = [slice(None)] * re.ndim
+        pre[last_axis] = slice(0, b)
+        post = [slice(None)] * re.ndim
+        post[last_axis] = slice(b + 1, None)
+        re = jnp.concatenate(
+            [re[tuple(pre)], sym_r, re[tuple(post)]], axis=last_axis
+        )
+        im = jnp.concatenate(
+            [im[tuple(pre)], sym_i, im[tuple(post)]], axis=last_axis
+        )
+    return re, im
 
 
 def resolve_weight_slices(

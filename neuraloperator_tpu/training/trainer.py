@@ -62,7 +62,10 @@ class Trainer:
     # ------------------------------------------------------------------ #
     def _init_params(self, sample_x):
         rng = jax.random.PRNGKey(0)
-        variables = self.model.init(rng, jnp.asarray(sample_x))
+        # jit the init: single fused program, and complex intermediates never
+        # surface as eager device arrays (restricted TPU runtimes cannot
+        # transfer complex arrays host-side)
+        variables = jax.jit(self.model.init)(rng, jnp.asarray(sample_x))
         return variables["params"]
 
     def _model_kwargs_from_sample(self, sample: dict) -> dict:
