@@ -13,3 +13,5 @@ from .uqno import UQNO  # noqa: F401
 from .sfno import SFNO  # noqa: F401
 from .gino import GINO  # noqa: F401
 from .fnogno import FNOGNO  # noqa: F401
+from .local_no import LocalNO  # noqa: F401
+from .rno import RNO  # noqa: F401
