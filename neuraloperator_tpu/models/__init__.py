@@ -15,3 +15,5 @@ from .gino import GINO  # noqa: F401
 from .fnogno import FNOGNO  # noqa: F401
 from .local_no import LocalNO  # noqa: F401
 from .rno import RNO  # noqa: F401
+from .otno import OTNO  # noqa: F401
+from .codano import CODANO  # noqa: F401
