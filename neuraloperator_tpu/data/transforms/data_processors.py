@@ -122,3 +122,56 @@ class IncrementalDataProcessor(DataProcessor):
         if self.out_normalizer is not None and not train:
             out = self.out_normalizer.inverse_transform(out)
         return out, sample
+
+
+class MGPatchingDataProcessor(DataProcessor):
+    """Bridge MultigridPatching2D into the Trainer.
+
+    Mirrors reference ``MGPatchingDataProcessor``
+    (data_processors.py:305-418): inputs are MG-patched before the model and
+    outputs are unpatched/stitched after, composing with an optional inner
+    normalization processor.
+    """
+
+    def __init__(
+        self,
+        model=None,
+        levels: int = 0,
+        padding_fraction=0,
+        stitching: bool = True,
+        use_distributed: bool = False,
+        mesh=None,
+        in_normalizer=None,
+        out_normalizer=None,
+    ):
+        from ...training.patching import MultigridPatching2D
+
+        self.patcher = MultigridPatching2D(
+            model=model,
+            levels=levels,
+            padding_fraction=padding_fraction,
+            use_distributed=use_distributed,
+            stitching=stitching,
+            mesh=mesh,
+        )
+        self.in_normalizer = in_normalizer
+        self.out_normalizer = out_normalizer
+        self._eval = False
+
+    def preprocess(self, sample: dict, train: bool = True) -> dict:
+        sample = dict(sample)
+        if self.in_normalizer is not None:
+            sample["x"] = self.in_normalizer.transform(sample["x"])
+        if self.out_normalizer is not None and train:
+            sample["y"] = self.out_normalizer.transform(sample["y"])
+        self._eval = not train
+        sample["x"], sample["y"] = self.patcher.patch(sample["x"], sample["y"])
+        return sample
+
+    def postprocess(self, out, sample: dict, train: bool = True):
+        out, y = self.patcher.unpatch(out, sample["y"], evaluation=not train)
+        if self.out_normalizer is not None and not train:
+            out = self.out_normalizer.inverse_transform(out)
+        sample = dict(sample)
+        sample["y"] = y
+        return out, sample
