@@ -10,3 +10,11 @@ from .synthetic import (  # noqa: F401
     solve_burgers_1d,
     solve_darcy,
 )
+from .car_cfd_dataset import CarCFDDataset, load_mini_car  # noqa: F401
+from .hdf5_dataset import H5pyDataset, ZarrDataset  # noqa: F401
+from .mesh_datamodule import MeshDataModule  # noqa: F401
+from .nonlinear_poisson import NonlinearPoissonDataset  # noqa: F401
+from .ot_datamodule import OTDataModule, sinkhorn_log  # noqa: F401
+from .spherical_swe import SphericalSWESolver, load_spherical_swe  # noqa: F401
+from .the_well_dataset import ActiveMatterDataset, MHD64Dataset, WellDataset  # noqa: F401
+from .web_utils import download_from_url, download_from_zenodo_record  # noqa: F401

@@ -145,3 +145,46 @@ def generate_burgers_files(root, n_train=100, n_test=50, res=16, seed=0):
             {"x": torch.tensor(x), "y": torch.tensor(y)},
             (root / f"burgers_{split}_{res}.pt").as_posix(),
         )
+
+
+def solve_burgers_trajectory(u0, visc=0.05, T=1.0, nt=16, steps_per_frame=20):
+    """Record the full (nt, nx) Burgers trajectory including t=0."""
+    frames = [u0.copy()]
+    u = u0.copy()
+    dt_frame = T / (nt - 1)
+    for _ in range(nt - 1):
+        u = solve_burgers_1d(u, visc=visc, T=dt_frame, steps=steps_per_frame)
+        frames.append(u.copy())
+    return np.stack(frames)
+
+
+def generate_burgers_spacetime_files(root, n_train=64, n_test=16, res=16,
+                                     nt=16, visc=0.05, seed=0):
+    """Write burgers_pino_{split}_{res}.pt files: u0 field -> (nt, nx)
+    space-time solution (for physics-informed training)."""
+    import torch
+
+    root = Path(root)
+    root.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    grid = np.linspace(0, 2 * np.pi, res, endpoint=False)
+
+    def make(n_samples):
+        xs = np.empty((n_samples, nt, res), dtype=np.float32)
+        ys = np.empty((n_samples, nt, res), dtype=np.float32)
+        for s in range(n_samples):
+            coef = rng.standard_normal(4) / np.arange(1, 5)
+            u0 = sum(c * np.sin((i + 1) * grid) for i, c in enumerate(coef))
+            traj = solve_burgers_trajectory(
+                u0.astype(np.float64), visc=visc, nt=nt
+            )
+            xs[s] = np.broadcast_to(u0, (nt, res)).astype(np.float32)
+            ys[s] = traj.astype(np.float32)
+        return xs, ys
+
+    for split, n_samples in (("train", n_train), ("test", n_test)):
+        x, y = make(n_samples)
+        torch.save(
+            {"x": torch.tensor(x), "y": torch.tensor(y)},
+            (root / f"burgers_pino_{split}_{res}.pt").as_posix(),
+        )

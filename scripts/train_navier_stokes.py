@@ -1,0 +1,128 @@
+"""Train FNO/TFNO on 2-D Navier-Stokes (vorticity).
+
+Counterpart of /root/reference/scripts/train_navier_stokes.py. Supports
+multigrid patching and mesh-distributed training.
+
+Usage:
+    python scripts/train_navier_stokes.py --opt.n_epochs 50 \
+        --model.factorization tucker --model.rank 0.1
+"""
+
+import sys
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import List, Optional
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+from neuraloperator_tpu.config import (
+    ConfigBase,
+    DistributedConfig,
+    FNOModelConfig,
+    OptConfig,
+    make_config_from_cli,
+)
+from neuraloperator_tpu.data.datasets import load_navier_stokes_pt
+from neuraloperator_tpu.data.transforms import MGPatchingDataProcessor
+from neuraloperator_tpu.losses import H1Loss, LpLoss
+from neuraloperator_tpu.models import get_model
+from neuraloperator_tpu.training import Trainer, adamw, setup, step_lr
+from neuraloperator_tpu.utils import count_model_params
+
+
+@dataclass
+class NSDataConfig(ConfigBase):
+    batch_size: int = 8
+    n_train: int = 64
+    train_resolution: int = 64
+    n_tests: List[int] = field(default_factory=lambda: [16])
+    test_resolutions: List[int] = field(default_factory=lambda: [64])
+    test_batch_sizes: List[int] = field(default_factory=lambda: [8])
+    encode_input: bool = True
+    encode_output: bool = True
+
+
+@dataclass
+class PatchingConfig(ConfigBase):
+    levels: int = 0
+    padding: float = 0.078125
+    stitching: bool = True
+
+
+@dataclass
+class NSConfig(ConfigBase):
+    model: FNOModelConfig = field(default_factory=lambda: FNOModelConfig(
+        n_modes=[24, 24], hidden_channels=32, projection_channel_ratio=4
+    ))
+    opt: OptConfig = field(default_factory=lambda: OptConfig(
+        n_epochs=50, learning_rate=3e-4, step_size=20
+    ))
+    data: NSDataConfig = field(default_factory=NSDataConfig)
+    patching: PatchingConfig = field(default_factory=PatchingConfig)
+    distributed: DistributedConfig = field(default_factory=DistributedConfig)
+    verbose: bool = True
+    eval_interval: int = 1
+
+
+def main():
+    config = make_config_from_cli(NSConfig)
+    mesh = setup(config)
+
+    train_loader, test_loaders, data_processor = load_navier_stokes_pt(
+        n_train=config.data.n_train,
+        n_tests=config.data.n_tests,
+        batch_size=config.data.batch_size,
+        test_batch_sizes=config.data.test_batch_sizes,
+        train_resolution=config.data.train_resolution,
+        test_resolutions=config.data.test_resolutions,
+        encode_input=config.data.encode_input,
+        encode_output=config.data.encode_output,
+    )
+
+    if config.patching.levels > 0:
+        data_processor = MGPatchingDataProcessor(
+            levels=config.patching.levels,
+            padding_fraction=config.patching.padding,
+            stitching=config.patching.stitching,
+            use_distributed=config.distributed.use_distributed,
+            mesh=mesh,
+            in_normalizer=data_processor.in_normalizer,
+            out_normalizer=data_processor.out_normalizer,
+        )
+        config.model.data_channels = config.patching.levels + 1
+
+    model = get_model(config.to_dict())
+
+    optimizer = adamw(
+        step_lr(
+            config.opt.learning_rate,
+            config.opt.step_size,
+            config.opt.gamma,
+            len(train_loader),
+        ),
+        weight_decay=config.opt.weight_decay,
+    )
+    h1loss, l2loss = H1Loss(d=2), LpLoss(d=2, p=2)
+    trainer = Trainer(
+        model=model,
+        n_epochs=config.opt.n_epochs,
+        data_processor=data_processor,
+        eval_interval=config.eval_interval,
+        mesh=mesh,
+        verbose=config.verbose,
+    )
+    metrics = trainer.train(
+        train_loader,
+        test_loaders,
+        optimizer,
+        training_loss=h1loss if config.opt.training_loss == "h1" else l2loss,
+        eval_losses={"h1": h1loss, "l2": l2loss},
+    )
+    if config.verbose:
+        print("final:", {k: round(v, 5) for k, v in metrics.items()})
+        print("params:", count_model_params(trainer.params))
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""Dataset module tests: OT Sinkhorn, spherical SWE, mesh/car data, Poisson."""
+
+import numpy as np
+import pytest
+
+from neuraloperator_tpu.data.datasets import (
+    NonlinearPoissonDataset,
+    OTDataModule,
+    SphericalSWESolver,
+    load_spherical_swe,
+    sinkhorn_log,
+)
+from neuraloperator_tpu.data.datasets.car_cfd_dataset import load_mini_car
+
+
+def test_sinkhorn_marginals():
+    rng = np.random.RandomState(0)
+    n, m = 20, 30
+    C = rng.rand(n, m)
+    a = np.full(n, 1.0 / n)
+    b = np.full(m, 1.0 / m)
+    P = sinkhorn_log(a, b, C, reg=0.05, n_iters=500)
+    np.testing.assert_allclose(P.sum(1), a, atol=1e-4)
+    np.testing.assert_allclose(P.sum(0), b, atol=1e-4)
+
+
+def test_ot_datamodule_maps():
+    rng = np.random.RandomState(0)
+    verts = rng.randn(100, 3).astype(np.float32)
+    dm = OTDataModule(verts, latent_size=8, reg=0.05, n_iters=100)
+    assert dm.ind_enc.shape == (64,)
+    assert dm.ind_dec.shape == (100,)
+    feats = dm.transported_features(verts)
+    assert feats.shape == (1, 6, 8, 8)
+
+
+def test_spherical_swe_solver():
+    solver = SphericalSWESolver(nlat=16, nlon=32)
+    rng = np.random.default_rng(0)
+    x0 = solver.random_state(rng)
+    assert x0.shape == (3, 16, 32)
+    x1 = solver.step(x0)
+    assert x1.shape == x0.shape
+    # dynamics move the state but keep it bounded
+    assert not np.allclose(x0, x1)
+    assert np.abs(x1).max() < 10 * (np.abs(x0).max() + 1e-6)
+
+
+def test_load_spherical_swe_loaders():
+    train_loader, test_loaders, dp = load_spherical_swe(
+        n_train=4, n_test=2, batch_size=2, test_batch_sizes=(2,),
+        train_resolution=(16, 32), test_resolutions=((16, 32),),
+    )
+    batch = next(iter(train_loader))
+    assert batch["x"].shape == (2, 3, 16, 32)
+
+
+def test_load_mini_car():
+    try:
+        samples = load_mini_car()
+    except FileNotFoundError:
+        pytest.skip("mini_car.pt not available")
+    assert len(samples) == 3
+    assert samples[0]["vertices"].shape[-1] == 3
+    assert "press" in samples[0]
+
+
+def test_nonlinear_poisson_synthetic():
+    ds = NonlinearPoissonDataset(n_train=2, n_test=1)
+    sample = ds.train_data[0]
+    assert sample["input_geom"].shape[-1] == 2
+    assert sample["y"].shape[0] == sample["input_geom"].shape[0]
+    assert int(sample["num_boundary"]) > 0
