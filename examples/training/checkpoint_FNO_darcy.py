@@ -1,0 +1,30 @@
+"""Checkpointing and resuming FNO training."""
+
+import tempfile
+from pathlib import Path
+
+from neuraloperator_tpu.data.datasets import load_darcy_flow_small
+from neuraloperator_tpu.losses import LpLoss
+from neuraloperator_tpu.models import FNO
+from neuraloperator_tpu.training import Trainer, adamw
+
+train_loader, test_loaders, dp = load_darcy_flow_small(
+    n_train=100, n_tests=[50], batch_size=16, test_batch_sizes=[16],
+    test_resolutions=[16],
+)
+model = FNO(n_modes=(16, 16), in_channels=1, out_channels=1, hidden_channels=24)
+l2 = LpLoss(d=2)
+save_dir = Path(tempfile.mkdtemp()) / "ckpt"
+
+trainer = Trainer(model=model, n_epochs=3, data_processor=dp, verbose=True)
+trainer.train(
+    train_loader, test_loaders, adamw(5e-3), training_loss=l2,
+    eval_losses={"l2": l2}, save_every=1, save_dir=save_dir,
+)
+print("checkpoint files:", sorted(p.name for p in save_dir.iterdir()))
+
+resumed = Trainer(model=model, n_epochs=6, data_processor=dp, verbose=True)
+resumed.train(
+    train_loader, test_loaders, adamw(5e-3), training_loss=l2,
+    eval_losses={"l2": l2}, resume_from_dir=save_dir,
+)

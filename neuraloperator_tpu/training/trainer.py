@@ -58,6 +58,18 @@ class Trainer:
         self.start_epoch = 0
         self._train_step = None
         self._eval_steps: Dict[str, Callable] = {}
+        self._autoreg_step = None
+
+        if wandb_log:
+            try:
+                import wandb  # noqa: F401
+
+                self._wandb = wandb
+            except ImportError:
+                self._wandb = None
+                self.wandb_log = False
+        else:
+            self._wandb = None
 
     # ------------------------------------------------------------------ #
     def _init_params(self, sample_x):
@@ -193,6 +205,10 @@ class Trainer:
             if epoch % self.eval_interval == 0 or epoch == self.n_epochs - 1:
                 eval_metrics = self.evaluate_all(eval_step, test_loaders)
                 all_metrics.update(eval_metrics)
+                if self.wandb_log and self._wandb is not None:
+                    self._wandb.log(
+                        {**eval_metrics, "train_err": train_err}, step=epoch
+                    )
                 if self.verbose:
                     msg = ", ".join(
                         f"{k}={v:.5f}" for k, v in eval_metrics.items()
@@ -231,20 +247,64 @@ class Trainer:
             metrics.update(self.evaluate(eval_step, loader, prefix=str(loader_name)))
         return metrics
 
-    def evaluate(self, eval_step, loader, prefix: str) -> Dict[str, float]:
-        """Single-step evaluation: mean of per-batch sums / n_samples.
+    def evaluate(
+        self,
+        eval_step,
+        loader,
+        prefix: str,
+        mode: str = "single_step",
+        eval_losses=None,
+        max_steps: Optional[int] = None,
+    ) -> Dict[str, float]:
+        """Evaluation: mean of per-batch sums / n_samples.
 
         Matches reference ``Trainer.evaluate`` (trainer.py:385-468) with
-        'sum'-reduction losses.
+        'sum'-reduction losses. ``mode='autoregression'`` rolls the model
+        out over a trajectory target ``y`` of shape (b, T, c, spatial...),
+        feeding predictions back as inputs (trainer.py:589-671).
         """
         totals: Dict[str, float] = {}
         n_samples = 0
         for batch in loader:
             bsz = len(batch["x"])
-            vals = eval_step(self.params, self._put(batch))
+            if mode == "single_step":
+                vals = eval_step(self.params, self._put(batch))
+            elif mode == "autoregression":
+                vals = self._eval_autoregressive(
+                    self._put(batch), eval_losses, max_steps
+                )
+            else:
+                raise ValueError(f"unknown eval mode {mode!r}")
             for k, v in vals.items():
                 totals[k] = totals.get(k, 0.0) + float(v)
             n_samples += bsz
         return {
             f"{prefix}_{k}": v / max(n_samples, 1) for k, v in totals.items()
         }
+
+    def _eval_autoregressive(self, batch, eval_losses, max_steps):
+        """Rollout eval: y is a trajectory (b, T, c, spatial...)."""
+        if self._autoreg_step is None:
+            model = self.model
+            data_processor = self.data_processor
+
+            def one_step(params, x):
+                sample = {"x": x}
+                if data_processor is not None:
+                    sample = data_processor.preprocess(sample, train=False)
+                out = model.apply({"params": params}, sample["x"])
+                if data_processor is not None:
+                    out, _ = data_processor.postprocess(out, sample, train=False)
+                return out
+
+            self._autoreg_step = jax.jit(one_step)
+
+        y = batch["y"]
+        T = y.shape[1] if max_steps is None else min(max_steps, y.shape[1])
+        x = batch["x"]
+        totals = {name: 0.0 for name in eval_losses}
+        for t in range(T):
+            x = self._autoreg_step(self.params, x)
+            for name, loss in eval_losses.items():
+                totals[name] += float(loss(x, y[:, t]))
+        return {k: v / max(T, 1) for k, v in totals.items()}

@@ -71,9 +71,7 @@ def test_checkpoint_resume_roundtrip(tmp_path):
     )
     # resume starts from saved epoch -> start_epoch == 3 -> no extra training
     assert resumed.start_epoch == 3
-    for a, b in zip(
-        np.asarray(jax_leaves(params_before)), np.asarray(jax_leaves(resumed.params))
-    ):
+    for a, b in zip(jax_leaves(params_before), jax_leaves(resumed.params)):
         np.testing.assert_allclose(a, b, rtol=1e-6)
 
 
