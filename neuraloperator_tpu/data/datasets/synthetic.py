@@ -147,7 +147,7 @@ def generate_burgers_files(root, n_train=100, n_test=50, res=16, seed=0):
         )
 
 
-def solve_burgers_trajectory(u0, visc=0.05, T=1.0, nt=16, steps_per_frame=20):
+def solve_burgers_trajectory(u0, visc=0.05, T=1.0, nt=16, steps_per_frame=100):
     """Record the full (nt, nx) Burgers trajectory including t=0."""
     frames = [u0.copy()]
     u = u0.copy()

@@ -8,3 +8,10 @@ from .normalizers import (  # noqa: F401
     DictUnitGaussianNormalizer,
     UnitGaussianNormalizer,
 )
+from .base_transforms import CompositeTransform, DictTransform, Transform  # noqa: F401
+from .patching_transforms import (  # noqa: F401
+    MGPatchingTransform,
+    MGPTensorDataset,
+    RandomMGPatch,
+)
+from .the_well_data_processors import TheWellDataProcessor  # noqa: F401

@@ -5,3 +5,4 @@ from .incremental import IncrementalFNOTrainer  # noqa: F401
 from .patching import MultigridPatching2D, make_patches  # noqa: F401
 from .setup import setup  # noqa: F401
 from .tensor_galore import tensor_galore_adamw  # noqa: F401
+from .profiling import ThroughputMeter, flops_per_fno_step, trace  # noqa: F401

@@ -96,7 +96,10 @@ class Trainer:
             sample = dict(batch)
             if data_processor is not None:
                 sample = data_processor.preprocess(sample, train=True)
-            out = model.apply({"params": params}, sample["x"])
+            # dict batches carry all model arguments (reference
+            # trainer.py:487-541 calls self.model(**sample))
+            kwargs = {k: v for k, v in sample.items() if k != "y"}
+            out = model.apply({"params": params}, **kwargs)
             if data_processor is not None:
                 out, sample = data_processor.postprocess(out, sample, train=True)
             return training_loss(out, sample["y"])
@@ -117,7 +120,8 @@ class Trainer:
             sample = dict(batch)
             if data_processor is not None:
                 sample = data_processor.preprocess(sample, train=False)
-            out = model.apply({"params": params}, sample["x"])
+            kwargs = {k: v for k, v in sample.items() if k != "y"}
+            out = model.apply({"params": params}, **kwargs)
             if data_processor is not None:
                 out, sample = data_processor.postprocess(out, sample, train=False)
             return {

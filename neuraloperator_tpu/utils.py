@@ -115,3 +115,30 @@ def compute_stable_rank(tensor):
     fro = jnp.linalg.norm(tensor.reshape(tensor.shape[0], -1), ord="fro") ** 2
     top = jnp.linalg.norm(tensor.reshape(tensor.shape[0], -1), ord=2) ** 2
     return fro / top
+
+
+def get_wandb_api_key(api_key_file="config/wandb_api_key.txt"):
+    """Read a wandb API key from env or file (reference utils.py:51-80)."""
+    import os
+    from pathlib import Path
+
+    key = os.environ.get("WANDB_API_KEY")
+    if key:
+        return key
+    path = Path(api_key_file)
+    if path.exists():
+        return path.read_text().strip()
+    return None
+
+
+def wandb_login(api_key_file="config/wandb_api_key.txt", key=None):
+    """Log into wandb if available (reference utils.py:51-80)."""
+    try:
+        import wandb
+    except ImportError:
+        return False
+    key = key or get_wandb_api_key(api_key_file)
+    if key is None:
+        return False
+    wandb.login(key=key)
+    return True
