@@ -66,16 +66,18 @@ def main():
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    # warmup (compile)
+    # warmup (compile); transfer the loss to force full completion — on the
+    # relayed TPU runtime block_until_ready alone does not wait for compute
     params, opt_state, loss = step(params, opt_state, x, y)
-    loss.block_until_ready()
+    float(loss)
 
-    n_iters = 100
+    n_iters = 50
     t0 = time.perf_counter()
     for _ in range(n_iters):
         params, opt_state, loss = step(params, opt_state, x, y)
-    loss.block_until_ready()
+    final_loss = float(loss)  # host transfer = true completion barrier
     dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss)
     steps_per_sec = n_iters / dt
 
     print(

@@ -22,3 +22,7 @@ except Exception:
     pass
 
 assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
+
+# persistent compilation cache: repeat CI runs skip most XLA compiles
+jax.config.update("jax_compilation_cache_dir", "/tmp/neuraloperator_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
