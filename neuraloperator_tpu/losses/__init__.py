@@ -7,6 +7,8 @@ from .data_losses import (  # noqa: F401
 )
 from .differentiation import (  # noqa: F401
     FiniteDiff,
+    get_non_uniform_fd_weights,
+    non_uniform_fd,
     FourierDiff,
     central_diff_1d,
     central_diff_2d,

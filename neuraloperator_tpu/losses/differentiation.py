@@ -10,6 +10,7 @@ All ops are static-shape and expressed with rolls/concats that XLA fuses.
 
 from typing import Sequence, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 
 
@@ -208,25 +209,46 @@ class FourierDiff:
     """
 
     def __init__(self, dim: int = 1, L: Union[float, Sequence[float]] = 2 * jnp.pi,
-                 use_fc: bool = False, fc_degree: int = 4, fc_n_additional_pts: int = 50):
+                 use_fc: bool = False, fc_degree: int = 4,
+                 fc_n_additional_pts: int = 50, low_pass_filter_ratio=None):
         self.dim = dim
         if isinstance(L, (int, float)):
             L = [float(L)] * dim
         self.L = list(L)
         self.use_fc = use_fc
-        # Fourier-continuation handling is added with the FC module.
+        self.low_pass_filter_ratio = low_pass_filter_ratio
+        if use_fc:
+            from ..layers.fourier_continuation import FCLegendre
+
+            self.fc = FCLegendre(d=fc_degree, n_additional_pts=fc_n_additional_pts)
+        else:
+            self.fc = None
 
     def _k(self, n: int, L: float):
         return 2 * jnp.pi * jnp.fft.fftfreq(n, d=1.0 / n) / L
 
     def _d_axis(self, u, order: int, axis: int, L: float):
+        if self.fc is not None:
+            # extend the non-periodic signal to a smooth periodic one, take
+            # the spectral derivative there, and restrict back
+            # (reference FourierDiff FC route, differentiation.py:858-1360)
+            n_orig = u.shape[axis]
+            u = self.fc.extend(u, dim=(axis,))
+            L = L * u.shape[axis] / n_orig
         n = u.shape[axis]
         k = self._k(n, L)
+        if self.low_pass_filter_ratio is not None:
+            cutoff = self.low_pass_filter_ratio * jnp.max(jnp.abs(k))
+            filt = (jnp.abs(k) <= cutoff).astype(u.dtype)
+            k = k * filt
         shape = [1] * u.ndim
         shape[axis] = n
         uh = jnp.fft.fft(u, axis=axis)
         duh = ((1j * k.reshape(shape)) ** order) * uh
-        return jnp.real(jnp.fft.ifft(duh, axis=axis))
+        out = jnp.real(jnp.fft.ifft(duh, axis=axis))
+        if self.fc is not None:
+            out = self.fc.restrict(out, dim=(axis,))
+        return out
 
     def dx(self, u, order: int = 1):
         return self._d_axis(u, order, -self.dim, self.L[0])
@@ -248,3 +270,77 @@ class FourierDiff:
         if self.dim >= 3:
             out = out + self.dz(u, 2)
         return out
+
+
+def get_non_uniform_fd_weights(
+    points, num_neighbors=5, derivative_indices=(0,), radius=None,
+    regularize_lstsq=False,
+):
+    """Least-squares FD stencils on unstructured point clouds.
+
+    Mirrors reference ``get_non_uniform_fd_weights``
+    (differentiation.py:728-815): for each point, fit first-order-consistent
+    weights over its k nearest neighbors. Returns (indices (N, k),
+    weights (N, n_derivs, k)).
+    """
+    points = jnp.asarray(points)
+    N, d = points.shape
+    k = min(max(num_neighbors, 3), N)
+
+    d2 = jnp.sum(
+        (points[:, None, :] - points[None, :, :]) ** 2, axis=-1
+    )
+    neg_d2, indices = jax.lax.top_k(-d2, k)
+    distances = jnp.sqrt(jnp.maximum(-neg_d2, 0.0))
+
+    if radius is None:
+        mask = jnp.ones_like(distances, dtype=bool)
+    else:
+        mask = distances <= radius
+        mask = mask.at[:, :3].set(True)
+
+    # A: (N, d+1, k) — consistency conditions [sum w = 0-th; sum w dx = e_j]
+    rows = [jnp.ones((N, k), points.dtype)]
+    for i in range(d):
+        rows.append(points[indices, i] - points[:, i][:, None])
+    A = jnp.stack(rows, axis=1)
+    A = A * mask[:, None, :]
+    A = jnp.broadcast_to(
+        A[:, None], (N, len(derivative_indices)) + A.shape[1:]
+    )
+
+    b = jnp.zeros((len(derivative_indices), d + 1, 1), points.dtype)
+    for j, di in enumerate(derivative_indices):
+        b = b.at[j, di + 1, 0].set(1.0)
+    b = jnp.broadcast_to(b[None], (N,) + b.shape)
+
+    if regularize_lstsq:
+        lam = 1e-6
+        AT = jnp.swapaxes(A, -2, -1)
+        AtA = AT @ A + lam * jnp.eye(k, dtype=A.dtype)
+        Atb = AT @ b
+        w = jnp.linalg.solve(AtA, Atb)[..., 0]
+    else:
+        # batched least squares via pinv (jnp.linalg.lstsq is not batched)
+        w = (jnp.linalg.pinv(A) @ b)[..., 0]
+    return indices, w
+
+
+def non_uniform_fd(
+    points, values, num_neighbors=5, derivative_indices=(0,), radius=None,
+    regularize_lstsq=False,
+):
+    """First-order derivatives on unstructured point clouds
+    (reference differentiation.py:815-857).
+
+    Returns (n_derivs, N) derivative values.
+    """
+    indices, fd_weights = get_non_uniform_fd_weights(
+        points=points,
+        num_neighbors=num_neighbors,
+        derivative_indices=derivative_indices,
+        radius=radius,
+        regularize_lstsq=regularize_lstsq,
+    )
+    values = jnp.asarray(values)
+    return jnp.einsum("nij,nj->in", fd_weights, values[indices])

@@ -24,7 +24,15 @@ def contract_dense(x, weight, separable: bool = False, return_parts: bool = Fals
     ``x`` may be a complex array or an (re, im) tuple of real arrays;
     likewise the output with ``return_parts``. Separable: weight (i, m...)
     multiplies x elementwise (reference ``_contract_dense_separable``).
+
+    The non-separable path packs the four real products of the complex
+    multiply into ONE einsum by stacking (re, im) on the batch dim of x and
+    on the out-channel dim of the weight: the (large) weight is streamed
+    from HBM once instead of four times, and the per-mode matmul gets 2x
+    the rows — both wins on the bandwidth-bound MXU hot path.
     """
+    import jax
+
     from .complex_einsum import split_complex
 
     if separable:
@@ -34,18 +42,29 @@ def contract_dense(x, weight, separable: bool = False, return_parts: bool = Fals
         out = (xr * wr - xi * wi, xr * wi + xi * wr)
         if return_parts:
             return out
-        import jax
-
         return jax.lax.complex(*out)
-    order = split_complex(x)[0].ndim
+
+    xr, xi = split_complex(x)
+    wr, wi = split_complex(weight)
+    order = xr.ndim
     x_syms = _SYMS[:order]  # b, i, modes...
     out_sym = _SYMS[order]
     weight_syms = x_syms[1] + out_sym + x_syms[2:]
     out_syms = x_syms[0] + out_sym + x_syms[2:]
-    return complex_einsum(
-        f"{x_syms},{weight_syms}->{out_syms}", x, weight,
-        return_parts=return_parts,
-    )
+
+    b = xr.shape[0]
+    o = wr.shape[1]
+    x2 = jnp.concatenate([xr, xi], axis=0)          # (2b, i, m...)
+    w2 = jnp.concatenate([wr, wi], axis=1)          # (i, 2o, m...)
+    prod = jnp.einsum(f"{x_syms},{weight_syms}->{out_syms}", x2, w2)
+    rr = prod[:b, :o]    # xr . wr
+    ri = prod[:b, o:]    # xr . wi
+    ir = prod[b:, :o]    # xi . wr
+    ii = prod[b:, o:]    # xi . wi
+    out = (rr - ii, ri + ir)
+    if return_parts:
+        return out
+    return jax.lax.complex(*out)
 
 
 def contract_cp(
