@@ -39,6 +39,36 @@ def contract_dhconv(x: jnp.ndarray, weight: jnp.ndarray, separable=False):
     return complex_einsum("bilm,iol->bolm", x, weight)
 
 
+def contract_dhconv_factorized(x, spec, params, separable=False):
+    """dhconv directly against CP/Tucker/TT factors (no reconstruction).
+
+    Factorized analogue of reference ``_contract_cp/tucker/tt`` with
+    dhconv=True (spherical_convolution.py:47-200): the weight's mode index
+    is the degree l shared across orders m.
+    """
+    factors = [params[f"factor_{i}"] for i in range(spec.order)]
+    if spec.kind == "cp":
+        if separable:
+            eq = "bilm,r,ir,lr->bilm"
+        else:
+            eq = "bilm,r,ir,or,lr->bolm"
+        return complex_einsum(eq, x, params["lambdas"], *factors)
+    if spec.kind == "tucker":
+        if separable:
+            eq = "bilm,pq,ip,lq->bilm"
+        else:
+            eq = "bilm,pqs,ip,oq,ls->bolm"
+        return complex_einsum(eq, x, params["core"], *factors)
+    if spec.kind == "tt":
+        # rank symbols must not collide with the batch symbol 'b'
+        if separable:
+            eq = "bilm,xiy,ylz->bilm"
+        else:
+            eq = "bilm,xiy,yoz,zlw->bolm"
+        return complex_einsum(eq, x, *factors)
+    return contract_dhconv(x, to_tensor(spec, params), separable=separable)
+
+
 class SphericalConv(nn.Module):
     """See reference SphericalConv docstring for parameters.
 
@@ -138,11 +168,13 @@ class SphericalConv(nn.Module):
             + [slice(0, lmax)]
         )
         spec_s, params_s = slice_factors(spec, params, tuple(w_slices))
-        if self.implementation == "reconstructed" or spec_s.kind == "dense":
-            weight = to_tensor(spec_s, params_s)
+        if self.implementation == "factorized" and spec_s.kind != "dense":
+            out_flm = contract_dhconv_factorized(
+                flm, spec_s, params_s, separable=self.separable
+            )
         else:
-            weight = to_tensor(spec_s, params_s)  # factor-space dhconv: phase 2
-        out_flm = contract_dhconv(flm, weight, separable=self.separable)
+            weight = to_tensor(spec_s, params_s)
+            out_flm = contract_dhconv(flm, weight, separable=self.separable)
 
         y = isht(
             out_flm, nlat=height, nlon=width, grid=grid_out, norm=self.sht_norm

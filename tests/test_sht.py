@@ -113,3 +113,23 @@ def test_sfno_forward_backward():
         if not np.any(np.asarray(leaf) != 0)
     ]
     assert not unused
+
+
+@pytest.mark.parametrize("factorization", ["cp", "tucker", "tt"])
+def test_spherical_conv_factorized_matches_reconstructed(factorization):
+    """Factor-space dhconv == reconstructed-weight dhconv."""
+    from neuraloperator_tpu.layers.spherical_convolution import SphericalConv
+
+    kwargs = dict(
+        in_channels=3, out_channels=4, n_modes=(6, 6),
+        factorization=factorization, rank=0.5,
+    )
+    conv_f = SphericalConv(implementation="factorized", **kwargs)
+    conv_r = SphericalConv(implementation="reconstructed", **kwargs)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 12, 24))
+    variables = conv_f.init(jax.random.PRNGKey(1), x)
+    y_f = conv_f.apply(variables, x)
+    y_r = conv_r.apply(variables, x)
+    np.testing.assert_allclose(
+        np.asarray(y_f), np.asarray(y_r), rtol=2e-4, atol=1e-5
+    )
