@@ -18,3 +18,4 @@ from .ot_datamodule import OTDataModule, sinkhorn_log  # noqa: F401
 from .spherical_swe import SphericalSWESolver, load_spherical_swe  # noqa: F401
 from .the_well_dataset import ActiveMatterDataset, MHD64Dataset, WellDataset  # noqa: F401
 from .web_utils import download_from_url, download_from_zenodo_record  # noqa: F401
+from .car_ot_dataset import CarOTDataset, CFDDataProcessor, load_car_ot  # noqa: F401

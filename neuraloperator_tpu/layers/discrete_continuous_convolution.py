@@ -37,16 +37,48 @@ def _periodic_hat(phi: np.ndarray, center: float, width: float) -> np.ndarray:
     return np.clip(1.0 - d / width, 0.0, None)
 
 
-def num_basis_functions(kernel_shape: Sequence[int]) -> int:
+def num_basis_functions(kernel_shape: Sequence[int], basis_type: str = "piecewise_linear") -> int:
+    if basis_type == "zernike":
+        n = kernel_shape[0]
+        return (n + 1) * (n + 2) // 2
+    if basis_type == "morlet":
+        nr = kernel_shape[0]
+        nphi = kernel_shape[1] if len(kernel_shape) == 2 else 1
+        return nr * nphi
     if len(kernel_shape) == 1:
         return kernel_shape[0]
     nr, nphi = kernel_shape
     return 1 + (nr - 1) * nphi
 
 
+def _morlet(r, phi, k_r, k_phi):
+    """Real Morlet-style wavelet on the disk (torch_harmonics 'morlet')."""
+    envelope = np.exp(-0.5 * (3.0 * r) ** 2)
+    return envelope * np.cos(np.pi * (k_r * r * np.cos(phi) + k_phi * r * np.sin(phi)))
+
+
+def _zernike(r, phi, n, m):
+    """Zernike polynomial Z_n^m on the unit disk."""
+    from math import factorial
+
+    R = np.zeros_like(r)
+    mm = abs(m)
+    for k in range((n - mm) // 2 + 1):
+        c = ((-1) ** k * factorial(n - k)) / (
+            factorial(k)
+            * factorial((n + mm) // 2 - k)
+            * factorial((n - mm) // 2 - k)
+        )
+        R = R + c * r ** (n - 2 * k)
+    if m >= 0:
+        return R * np.cos(mm * phi)
+    return R * np.sin(mm * phi)
+
+
 @functools.lru_cache(maxsize=64)
 def equidistant_filter_basis(
-    kernel_shape: Tuple[int, ...], kernel_size: int
+    kernel_shape: Tuple[int, ...], kernel_size: int,
+    basis_type: str = "piecewise_linear",
 ) -> np.ndarray:
     """psi (K, ks, ks): basis stencils on an odd-size square support.
 
@@ -62,7 +94,23 @@ def equidistant_filter_basis(
     r = np.sqrt(X ** 2 + Y ** 2)
     phi = np.arctan2(Y, X)
 
-    if len(kernel_shape) == 1:
+    if basis_type == "morlet":
+        nr, nphi = (kernel_shape if len(kernel_shape) == 2 else (kernel_shape[0], 1))
+        funcs = [
+            _morlet(r, phi, k_r, k_phi)
+            for k_r in range(nr)
+            for k_phi in range(nphi)
+        ]
+        psi = np.stack(funcs)
+    elif basis_type == "zernike":
+        n_max = kernel_shape[0]
+        funcs = [
+            _zernike(np.clip(r, 0, 1), phi, n, m)
+            for n in range(n_max + 1)
+            for m in range(-n, n + 1, 2)
+        ]
+        psi = np.stack(funcs)
+    elif len(kernel_shape) == 1:
         nr = kernel_shape[0]
         radii = np.linspace(0, 1, nr)
         width = 1.0 / max(nr - 1, 1)
@@ -81,7 +129,7 @@ def equidistant_filter_basis(
                 )
         psi = np.stack(funcs)
     psi = np.where(r[None] <= 1.0, psi, 0.0)
-    norms = psi.sum(axis=(1, 2), keepdims=True)
+    norms = np.abs(psi).sum(axis=(1, 2), keepdims=True)
     psi = psi / np.maximum(norms, 1e-12)
     return psi.astype(np.float32)
 
@@ -101,12 +149,15 @@ class EquidistantDiscreteContinuousConv2d(nn.Module):
     groups: int = 1
     use_bias: bool = True
     padding_mode: str = "zeros"
+    basis_type: str = "piecewise_linear"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        K = num_basis_functions(tuple(self.kernel_shape))
+        K = num_basis_functions(tuple(self.kernel_shape), self.basis_type)
         psi = jnp.asarray(
-            equidistant_filter_basis(tuple(self.kernel_shape), self.kernel_size)
+            equidistant_filter_basis(
+                tuple(self.kernel_shape), self.kernel_size, self.basis_type
+            )
         )
         scale = math.sqrt(2.0 / (self.in_channels * K))
         w = self.param(
