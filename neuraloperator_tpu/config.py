@@ -140,3 +140,46 @@ class DarcyConfig(ConfigBase):
     distributed: DistributedConfig = field(default_factory=DistributedConfig)
     verbose: bool = True
     eval_interval: int = 1
+
+
+# ---------------------------------------------------------------------- #
+# Model presets mirroring /root/reference/config/models.py
+# ---------------------------------------------------------------------- #
+
+
+@dataclass
+class FNO_Small2d(FNOModelConfig):
+    """Darcy-scale FNO (reference config/models.py:46-56)."""
+
+    n_modes: List[int] = field(default_factory=lambda: [16, 16])
+    hidden_channels: int = 24
+    projection_channel_ratio: int = 2
+
+
+@dataclass
+class FNO_Medium2d(FNOModelConfig):
+    """NS-128^2-scale FNO (reference config/models.py:58-68)."""
+
+    n_modes: List[int] = field(default_factory=lambda: [64, 64])
+    hidden_channels: int = 64
+    projection_channel_ratio: int = 4
+
+
+@dataclass
+class TFNO_Medium2d(FNO_Medium2d):
+    """Tucker-factorized medium FNO (rank 0.1)."""
+
+    model_arch: str = "tfno"
+    factorization: str = "tucker"
+    rank: float = 0.1
+    implementation: str = "factorized"
+
+
+@dataclass
+class SFNO_Small2d(ConfigBase):
+    model_arch: str = "sfno"
+    data_channels: int = 3
+    out_channels: int = 3
+    n_modes: List[int] = field(default_factory=lambda: [16, 16])
+    hidden_channels: int = 32
+    n_layers: int = 4

@@ -43,3 +43,27 @@ def adamw(
     if max_grad_norm is not None:
         tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
     return tx
+
+
+def reduce_on_plateau(
+    optimizer: optax.GradientTransformation,
+    factor: float = 0.5,
+    patience: int = 5,
+    atol: float = 0.0,
+    rtol: float = 1e-4,
+) -> optax.GradientTransformation:
+    """Wrap an optimizer with ReduceLROnPlateau scheduling.
+
+    torch.optim.lr_scheduler.ReduceLROnPlateau equivalent (the reference
+    Trainer supports it, trainer.py:296-310). The wrapped optimizer's
+    ``update`` accepts ``value=<metric>``; the Trainer passes the training
+    loss automatically when it detects the wrapper.
+    """
+    wrapped = optax.chain(
+        optimizer,
+        optax.contrib.reduce_on_plateau(
+            factor=factor, patience=patience, atol=atol, rtol=rtol
+        ),
+    )
+    wrapped.needs_value = True  # Trainer protocol flag
+    return wrapped

@@ -104,9 +104,16 @@ class Trainer:
                 out, sample = data_processor.postprocess(out, sample, train=True)
             return training_loss(out, sample["y"])
 
+        needs_value = getattr(optimizer, "needs_value", False)
+
         def step(params, opt_state, batch):
             loss, grads = jax.value_and_grad(loss_fn)(params, batch)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
+            if needs_value:
+                updates, opt_state = optimizer.update(
+                    grads, opt_state, params, value=loss
+                )
+            else:
+                updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
