@@ -1,0 +1,113 @@
+"""Coverage for later additions: DISCO bases, OT car data, plateau LR,
+presets, the_well processor, point-cloud FD, FC-extended FourierDiff."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neuraloperator_tpu.layers.discrete_continuous_convolution import (
+    EquidistantDiscreteContinuousConv2d,
+    equidistant_filter_basis,
+    num_basis_functions,
+)
+
+
+@pytest.mark.parametrize("basis,ks", [("morlet", (2, 4)), ("zernike", (3,))])
+def test_disco_extra_bases(basis, ks):
+    psi = equidistant_filter_basis(ks, 5, basis)
+    assert psi.shape[0] == num_basis_functions(ks, basis)
+    conv = EquidistantDiscreteContinuousConv2d(
+        in_channels=2, out_channels=3, kernel_shape=ks, kernel_size=5,
+        basis_type=basis,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 12, 12))
+    v = conv.init(jax.random.PRNGKey(1), x)
+    assert conv.apply(v, x).shape == (1, 3, 12, 12)
+
+
+def test_car_ot_dataset_and_processor():
+    from neuraloperator_tpu.data.datasets import CarOTDataset, CFDDataProcessor
+    from neuraloperator_tpu.data.datasets.darcy import _find_root
+
+    if _find_root() is None:
+        pytest.skip("no shipped data")
+    try:
+        ds = CarOTDataset()
+    except FileNotFoundError:
+        pytest.skip("no ot archive")
+    sample = CFDDataProcessor().preprocess(ds.train_data[0])
+    n = sample["x"].shape[-1]
+    assert sample["x"].shape == (1, 6, n, n)
+    assert sample["y"].shape[1] == sample["ind_dec"].shape[0]
+
+
+def test_reduce_on_plateau_trainer():
+    from neuraloperator_tpu.data.datasets import DataLoader, TensorDataset
+    from neuraloperator_tpu.losses import LpLoss
+    from neuraloperator_tpu.models import FNO
+    from neuraloperator_tpu.training import Trainer, adamw, reduce_on_plateau
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(16, 1, 8, 8).astype(np.float32)
+    ds = TensorDataset(x, 2 * x)
+    model = FNO(
+        n_modes=(4, 4), in_channels=1, out_channels=1, hidden_channels=8,
+        n_layers=1,
+    )
+    trainer = Trainer(model=model, n_epochs=2)
+    metrics = trainer.train(
+        DataLoader(ds, 8),
+        {"t": DataLoader(ds, 8)},
+        reduce_on_plateau(adamw(1e-3), patience=2),
+        training_loss=LpLoss(d=2),
+        eval_losses={"l2": LpLoss(d=2)},
+    )
+    assert np.isfinite(metrics["train_err"])
+
+
+def test_model_presets():
+    from neuraloperator_tpu.config import FNO_Small2d, TFNO_Medium2d
+    from neuraloperator_tpu.models import get_model
+
+    m = get_model({"model": FNO_Small2d().to_dict()})
+    assert m.hidden_channels == 24
+    t = get_model({"model": TFNO_Medium2d().to_dict()})
+    assert t.factorization == "tucker" and t.rank == 0.1
+
+
+def test_the_well_processor_rollout():
+    from neuraloperator_tpu.data.transforms import TheWellDataProcessor
+
+    dp = TheWellDataProcessor()
+    x0 = jnp.ones((2, 1, 4, 4))
+    s = dp.preprocess({"x": x0, "y": None}, train=False, step=0)
+    np.testing.assert_array_equal(np.asarray(s["x"]), np.asarray(x0))
+    out, _ = dp.postprocess(x0 * 2, s, train=False)
+    s1 = dp.preprocess({"x": x0, "y": None}, train=False, step=1)
+    np.testing.assert_array_equal(np.asarray(s1["x"]), np.asarray(x0 * 2))
+
+
+def test_non_uniform_fd_linear_field():
+    from neuraloperator_tpu.losses import non_uniform_fd
+
+    rng = np.random.RandomState(0)
+    pts = rng.rand(100, 2).astype(np.float32)
+    vals = 3 * pts[:, 0] + 2 * pts[:, 1]
+    d = np.asarray(
+        non_uniform_fd(pts, vals, num_neighbors=8, derivative_indices=(0, 1))
+    )
+    np.testing.assert_allclose(d[0], 3.0, atol=1e-2)
+    np.testing.assert_allclose(d[1], 2.0, atol=1e-2)
+
+
+def test_fourier_diff_fc_nonperiodic():
+    from neuraloperator_tpu.losses import FourierDiff
+
+    n = 128
+    xs = np.linspace(0, 1, n)
+    f = jnp.asarray(xs ** 2, jnp.float32)[None]
+    fd = FourierDiff(dim=1, L=1.0, use_fc=True, fc_degree=4,
+                     fc_n_additional_pts=50)
+    df = np.asarray(fd.dx(f))[0]
+    assert np.abs(df[5:-5] - 2 * xs[5:-5]).max() < 5e-2
