@@ -52,7 +52,9 @@ def main():
     x = jnp.asarray(rng.randn(batch, 1, res, res), jnp.float32)
     y = jnp.asarray(rng.randn(batch, 1, res, res), jnp.float32)
 
-    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    # jit the init: eager init would execute complex intermediates op-by-op,
+    # which restricted TPU runtimes cannot handle at this size
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)["params"]
     opt = optax.adamw(3e-4)
     opt_state = opt.init(params)
     h1 = H1Loss(d=2)

@@ -58,38 +58,6 @@ class H5pyDataset:
     def close(self):
         self._file.close()
 
+from .zarr_dataset import ZarrDataset  # noqa: E402,F401
 
-class ZarrDataset:
-    """Lazy dataset over a zarr group (reference zarr_dataset.py:12).
 
-    Requires the optional ``zarr`` package.
-    """
-
-    def __init__(self, filename, resolution=None, n_samples=None,
-                 subsampling_rate: int = 1):
-        try:
-            import zarr
-        except ImportError as e:
-            raise ImportError(
-                "ZarrDataset requires the 'zarr' package, which is not "
-                "installed in this environment"
-            ) from e
-        self.group = zarr.open(str(filename), mode="r")
-        self.data_x = self.group["x"]
-        self.data_y = self.group["y"]
-        self.subsampling_rate = subsampling_rate or 1
-        self.n_samples = (
-            n_samples if n_samples is not None else self.data_x.shape[0]
-        )
-
-    def __len__(self):
-        return self.n_samples
-
-    def __getitem__(self, idx):
-        rate = self.subsampling_rate
-        x = np.asarray(self.data_x[idx], np.float32)
-        y = np.asarray(self.data_y[idx], np.float32)
-        if rate > 1:
-            sl = tuple([slice(None)] + [slice(None, None, rate)] * (x.ndim - 1))
-            x, y = x[sl], y[sl]
-        return {"x": x, "y": y}

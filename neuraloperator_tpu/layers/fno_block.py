@@ -60,6 +60,7 @@ class FNOBlocks(nn.Module):
     implementation: str = "factorized"
     decomposition_kwargs: Optional[dict] = None
     enforce_hermitian_symmetry: bool = True
+    weight_dtype: str = "float32"
 
     @property
     def n_dim(self) -> int:
@@ -81,6 +82,7 @@ class FNOBlocks(nn.Module):
             conv_kwargs["enforce_hermitian_symmetry"] = (
                 self.enforce_hermitian_symmetry
             )
+            conv_kwargs["weight_dtype"] = self.weight_dtype
         self.convs = [
             self.conv_module(
                 in_channels=self.in_channels,

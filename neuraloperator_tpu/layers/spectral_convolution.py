@@ -98,6 +98,7 @@ class SpectralConv(nn.Module):
     fixed_rank_modes: bool = False
     init_std: Union[str, float] = "auto"
     fft_norm: str = "forward"
+    weight_dtype: str = "float32"  # 'bfloat16' halves HBM weight traffic
 
     @property
     def order(self) -> int:
@@ -164,13 +165,24 @@ class SpectralConv(nn.Module):
         # Declare factor params (real storage, leading (2,) axis); viewed as
         # complex inside the kernel. Each factor gets its own RNG stream.
         shapes = factor_shapes(spec)
+        if self.weight_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"weight_dtype must be 'float32' or 'bfloat16', got "
+                f"{self.weight_dtype!r}"
+            )
+        storage_dtype = (
+            jnp.bfloat16 if self.weight_dtype == "bfloat16" else jnp.float32
+        )
         params = {}
         for name in shapes:
             def initializer(key, name=name):
                 sub = init_factors(key, spec, std)
-                return to_real_storage(sub[name])
+                return to_real_storage(sub[name]).astype(storage_dtype)
 
-            params[name] = to_complex(self.param(f"w_{name}", initializer))
+            w_st = self.param(f"w_{name}", initializer)
+            # contraction runs split-real; bf16 storage upcasts on load (the
+            # convert fuses into the matmul operand read)
+            params[name] = to_complex(w_st.astype(jnp.float32))
 
         bias = None
         if self.use_bias:

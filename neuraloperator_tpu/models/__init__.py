@@ -7,7 +7,7 @@ from .base_model import (  # noqa: F401
     register_model,
     save_checkpoint,
 )
-from .fno import FNO, TFNO  # noqa: F401
+from .fno import FNO, TFNO, partialclass  # noqa: F401
 from .uno import UNO  # noqa: F401
 from .uqno import UQNO  # noqa: F401
 from .sfno import SFNO  # noqa: F401

@@ -61,6 +61,7 @@ class FNO(nn.Module):
     preactivation: bool = False
     conv_module: type = SpectralConv
     enforce_hermitian_symmetry: bool = True
+    weight_dtype: str = "float32"
 
     @property
     def n_dim(self) -> int:
@@ -171,6 +172,7 @@ class FNO(nn.Module):
             conv_module=self.conv_module,
             n_layers=self.n_layers,
             enforce_hermitian_symmetry=self.enforce_hermitian_symmetry,
+            weight_dtype=self.weight_dtype,
             name="fno_blocks",
         )
 
@@ -217,6 +219,29 @@ class FNO(nn.Module):
             x = dp.unpad(x)
 
         return self.projection(x)
+
+
+def partialclass(new_name: str, cls, **kwargs):
+    """Dynamically subclass a flax module with new field defaults.
+
+    Counterpart of reference ``fno.py:419-446`` (which rebinds
+    ``__init__`` via partialmethod). Flax modules are dataclasses, so the
+    idiomatic equivalent is a subclass that re-declares the overridden
+    fields with new defaults — exactly how ``SFNO``/``TFNO`` are defined.
+
+    >>> MyFNO = partialclass("MyFNO", FNO, factorization="tucker", rank=0.05)
+    """
+    annotations = {}
+    mro_annotations = {}
+    for base in reversed(cls.__mro__):
+        mro_annotations.update(getattr(base, "__annotations__", {}))
+    for k in kwargs:
+        if k not in mro_annotations:
+            raise TypeError(f"{cls.__name__} has no field {k!r}")
+        annotations[k] = mro_annotations[k]
+    namespace = {"__annotations__": annotations, "__doc__": cls.__doc__}
+    namespace.update(kwargs)
+    return type(new_name, (cls,), namespace)
 
 
 @register_model(name="TFNO")

@@ -101,7 +101,7 @@ class IncrementalFNOTrainer(Trainer):
 
         first_batch = next(iter(train_loader))
         if self.params is None:
-            self.params = self._init_params(first_batch["x"][:1])
+            self.params = self._init_params(first_batch)
         self.opt_state = optimizer.init(self.params)
         eval_step = self._build_eval_step(eval_losses)
 

@@ -72,12 +72,24 @@ class Trainer:
             self._wandb = None
 
     # ------------------------------------------------------------------ #
-    def _init_params(self, sample_x):
+    def _init_params(self, batch: dict):
+        """Initialize params from a (preprocessed) sample batch.
+
+        The model sees exactly what the train step will feed it: the sample
+        after ``data_processor.preprocess`` with every non-'y' key passed as
+        a keyword argument.
+        """
+        sample = dict(batch)
+        if self.data_processor is not None:
+            sample = self.data_processor.preprocess(sample, train=True)
+        kwargs = {
+            k: jnp.asarray(v) for k, v in sample.items() if k != "y"
+        }
         rng = jax.random.PRNGKey(0)
         # jit the init: single fused program, and complex intermediates never
         # surface as eager device arrays (restricted TPU runtimes cannot
         # transfer complex arrays host-side)
-        variables = jax.jit(self.model.init)(rng, jnp.asarray(sample_x))
+        variables = jax.jit(lambda r: self.model.init(r, **kwargs))(rng)
         return variables["params"]
 
     def _model_kwargs_from_sample(self, sample: dict) -> dict:
@@ -165,7 +177,7 @@ class Trainer:
 
         first_batch = next(iter(train_loader))
         if self.params is None:
-            self.params = self._init_params(first_batch["x"][:1])
+            self.params = self._init_params(first_batch)
         self.opt_state = optimizer.init(self.params)
 
         if resume_from_dir is not None and Path(resume_from_dir).exists():

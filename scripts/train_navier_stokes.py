@@ -89,7 +89,8 @@ def main():
             in_normalizer=data_processor.in_normalizer,
             out_normalizer=data_processor.out_normalizer,
         )
-        config.model.data_channels = config.patching.levels + 1
+        # get_model multiplies data_channels by (levels+1) when the config
+        # carries a patching section — no manual adjustment here
 
     model = get_model(config.to_dict())
 

@@ -111,3 +111,48 @@ def test_fourier_diff_fc_nonperiodic():
                      fc_n_additional_pts=50)
     df = np.asarray(fd.dx(f))[0]
     assert np.abs(df[5:-5] - 2 * xs[5:-5]).max() < 5e-2
+
+
+def test_partialclass_subclassing():
+    from neuraloperator_tpu.models import FNO, partialclass
+
+    M = partialclass("MiniFNO", FNO, hidden_channels=8, n_layers=1)
+    m = M(n_modes=(4, 4), in_channels=1, out_channels=1)
+    x = jnp.ones((1, 1, 8, 8))
+    v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+    assert m.apply(v, x).shape == (1, 1, 8, 8)
+    assert M.__name__ == "MiniFNO" and issubclass(M, FNO)
+    with pytest.raises(TypeError):
+        partialclass("Bad", FNO, not_a_field=3)
+
+
+def test_mg_patched_trainer_end_to_end():
+    """Trainer must init params on the *preprocessed* (patched) batch:
+    with levels=1 the model input has 2x data channels and 1/2 resolution."""
+    from neuraloperator_tpu.data.datasets import DataLoader, TensorDataset
+    from neuraloperator_tpu.data.transforms import MGPatchingDataProcessor
+    from neuraloperator_tpu.losses import LpLoss
+    from neuraloperator_tpu.models import get_model
+    from neuraloperator_tpu.training import Trainer, adamw
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(8, 1, 16, 16).astype(np.float32)
+    ds = TensorDataset(x, 2 * x)
+    dp = MGPatchingDataProcessor(levels=1, padding_fraction=0.0,
+                                 stitching=True)
+    config = {
+        "model": {
+            "arch": "FNO", "n_modes": [4, 4], "in_channels": 1,
+            "out_channels": 1, "hidden_channels": 8, "n_layers": 1,
+            "data_channels": 1,
+        },
+        "patching": {"levels": 1},
+    }
+    model = get_model(config)
+    assert model.in_channels == 2  # (levels+1) * data_channels
+    trainer = Trainer(model=model, n_epochs=1, data_processor=dp)
+    metrics = trainer.train(
+        DataLoader(ds, 4), {"t": DataLoader(ds, 4)}, adamw(1e-3),
+        training_loss=LpLoss(d=2), eval_losses={"l2": LpLoss(d=2)},
+    )
+    assert np.isfinite(metrics["train_err"])
