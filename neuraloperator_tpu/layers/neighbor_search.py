@@ -20,9 +20,35 @@ import numpy as np
 
 
 def native_neighbor_search(data, queries, radius: float, return_norm: bool = False):
-    """O(n·m) host search -> CSR dict (reference neighbor_search.py:84-119)."""
+    """Host search -> CSR dict (reference neighbor_search.py:84-119).
+
+    Fast path: the C++ grid-hash kernel in ``neuraloperator_tpu.native``
+    (O(n + m·k), multithreaded) — the stand-in for the reference's open3d
+    CUDA FixedRadiusSearch. Falls back to the O(n·m) numpy search when the
+    native library is unavailable; both orderings are identical.
+    """
     data = np.asarray(data)
     queries = np.asarray(queries)
+
+    from ..native import fixed_radius_search_cpp
+
+    if data.ndim == 2 and queries.ndim == 2:
+        native = fixed_radius_search_cpp(data, queries, radius)
+        if native is not None:
+            index, splits = native
+            out = {
+                "neighbors_index": index,
+                "neighbors_row_splits": splits,
+            }
+            if return_norm:
+                counts = splits[1:] - splits[:-1]
+                query_of = np.repeat(
+                    np.arange(len(queries), dtype=np.int64), counts
+                )
+                diff = queries[query_of] - data[index]
+                out["neighbors_norm"] = (diff ** 2).sum(-1)
+            return out
+
     d2 = ((queries[:, None, :] - data[None, :, :]) ** 2).sum(-1)
     within = d2 <= radius ** 2
     counts = within.sum(axis=1)
