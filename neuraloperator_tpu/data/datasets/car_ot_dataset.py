@@ -86,3 +86,8 @@ class CFDDataProcessor(DataProcessor):
         if self.normalizer is not None and not train:
             out = self.normalizer.inverse_transform(out)
         return out, sample
+
+
+# Reference name (car_ot_dataset.py:119): the class that loads the
+# shipped OT archive is called load_saved_ot there.
+load_saved_ot = CarOTDataset

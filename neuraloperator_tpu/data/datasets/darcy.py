@@ -113,3 +113,43 @@ def load_darcy_flow_small(
         for (res, db), bs in zip(dataset.test_dbs.items(), test_batch_sizes)
     }
     return train_loader, test_loaders, dataset.data_processor
+
+
+def load_darcy_pt(
+    n_train: int,
+    n_tests: List[int],
+    batch_size: int,
+    test_batch_sizes: List[int],
+    data_root: Optional[str] = None,
+    train_resolution: int = 16,
+    test_resolutions: List[int] = (16, 32),
+    encode_input: bool = False,
+    encode_output: bool = True,
+    encoding: str = "channel-wise",
+    channel_dim: int = 1,
+    **kwargs,
+):
+    """Load Darcy flow from .pt files at a chosen training resolution
+    (reference darcy.py:202-251). Returns
+    (train_loader, test_loaders, data_processor)."""
+    dataset = DarcyDataset(
+        root_dir=_find_root(data_root),
+        n_train=n_train,
+        n_tests=n_tests,
+        batch_size=batch_size,
+        test_batch_sizes=test_batch_sizes,
+        train_resolution=train_resolution,
+        test_resolutions=list(test_resolutions),
+        encode_input=encode_input,
+        encode_output=encode_output,
+        encoding=encoding,
+        channel_dim=channel_dim,
+    )
+    train_loader = DataLoader(dataset.train_db, batch_size)
+    test_loaders = {
+        res: DataLoader(db, bs)
+        for (res, db), bs in zip(
+            dataset.test_dbs.items(), test_batch_sizes
+        )
+    }
+    return train_loader, test_loaders, dataset.data_processor

@@ -140,3 +140,54 @@ def load_navier_stokes_pt(
         for (res, db), bs in zip(ds.test_dbs.items(), test_batch_sizes)
     }
     return train_loader, test_loaders, ds.data_processor
+
+
+class NavierStokesDataset(PTDataset):
+    """Named PTDataset over nsforcing_{train,test}_{res}.pt files
+    (reference navier_stokes.py:15-141). Files are generated on the fly
+    from the spectral solver when absent (zero-egress environment)."""
+
+    def __init__(
+        self,
+        root_dir,
+        n_train: int,
+        n_tests: List[int],
+        batch_size: int,
+        test_batch_sizes: List[int],
+        train_resolution: int = 128,
+        test_resolutions: List[int] = (128,),
+        encode_input: bool = True,
+        encode_output: bool = True,
+        encoding: str = "channel-wise",
+        channel_dim: int = 1,
+        **kwargs,
+    ):
+        root = Path(root_dir)
+        missing = [
+            res
+            for res in set([train_resolution, *test_resolutions])
+            if not (root / f"nsforcing_train_{res}.pt").exists()
+            or not (root / f"nsforcing_test_{res}.pt").exists()
+        ]
+        for res in missing:
+            generate_navier_stokes_files(
+                root,
+                n_train=max(n_train, 32),
+                n_test=max(max(n_tests), 8),
+                res=res,
+            )
+        super().__init__(
+            root_dir=root,
+            dataset_name="nsforcing",
+            n_train=n_train,
+            n_tests=n_tests,
+            batch_size=batch_size,
+            test_batch_sizes=test_batch_sizes,
+            train_resolution=train_resolution,
+            test_resolutions=list(test_resolutions),
+            encode_input=encode_input,
+            encode_output=encode_output,
+            encoding=encoding,
+            channel_dim=channel_dim,
+            **kwargs,
+        )

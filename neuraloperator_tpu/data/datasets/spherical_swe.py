@@ -109,3 +109,45 @@ def load_spherical_swe(
         for res, bs in zip(test_resolutions, test_batch_sizes)
     }
     return train_loader, test_loaders, None
+
+
+class SphericalSWEDataset:
+    """Map-style on-the-fly SWE dataset (reference spherical_swe.py:48-130).
+
+    Each item is a dict ``{'x': (3, nlat, nlon), 'y': same}``: a random
+    initial state and the solver-advanced state ``dt`` seconds later.
+    Samples are generated lazily per index with a deterministic per-item
+    seed, matching the reference's resolution-scaled solver stepping.
+    """
+
+    def __init__(
+        self,
+        dt: float = 3600,
+        dims: Tuple[int, int] = (32, 64),
+        initial_condition: str = "random",
+        num_examples: int = 32,
+        normalize: bool = True,
+        seed: int = 0,
+    ):
+        # heuristic from the reference: finer grids need smaller solver dt
+        dt_min = 256 / dims[0] * 150
+        self.nsteps = max(int(dt // dt_min), 1)
+        self.num_examples = num_examples
+        self.normalize = normalize
+        self.initial_condition = initial_condition
+        self.seed = seed
+        self.solver = SphericalSWESolver(nlat=dims[0], nlon=dims[1])
+
+    def __len__(self) -> int:
+        return self.num_examples
+
+    def __getitem__(self, index: int) -> dict:
+        rng = np.random.default_rng(self.seed * 100003 + index)
+        x = self.solver.random_state(rng)
+        y = self.solver.step(x, n_steps=self.nsteps)
+        if self.normalize:
+            mean = x.mean(axis=(-2, -1), keepdims=True)
+            std = x.std(axis=(-2, -1), keepdims=True) + 1e-8
+            x = (x - mean) / std
+            y = (y - mean) / std
+        return {"x": x.astype(np.float32), "y": y.astype(np.float32)}

@@ -83,3 +83,38 @@ class DataLoader:
                 yield {
                     k: np.stack([s[k] for s in samples]) for k in samples[0]
                 }
+
+
+class GeneralTensorDataset:
+    """N aligned arrays + per-array transforms (reference
+    tensor_dataset.py:28-51). Returns a list of items (or a single item
+    when constructed with one array)."""
+
+    def __init__(self, sets, transforms):
+        assert len(sets) == len(transforms), (
+            "Size mismatch between number of tensors and transforms"
+        )
+        self.n = len(sets)
+        for j in range(1, self.n):
+            assert len(sets[j]) == len(sets[0]), (
+                "Size mismatch between tensors"
+            )
+        self.sets = sets
+        self.transforms = transforms
+
+    def __len__(self):
+        return len(self.sets[0])
+
+    def __getitem__(self, index):
+        if self.n > 1:
+            items = []
+            for j in range(self.n):
+                item = self.sets[j][index]
+                if self.transforms[j] is not None:
+                    item = self.transforms[j](item)
+                items.append(item)
+            return items
+        item = self.sets[0][index]
+        if self.transforms[0] is not None:
+            item = self.transforms[0](item)
+        return item

@@ -65,3 +65,28 @@ def download_from_zenodo_record(
         md5 = f.get("checksum", "").replace("md5:", "") or None
         out.append(download_from_url(url, Path(root) / name, md5=md5))
     return out
+
+
+def calculate_md5(fpath, chunk_size: int = 1024 * 1024) -> str:
+    """md5 of a file, streamed (reference web_utils.py md5 helpers)."""
+    import hashlib
+
+    md5 = hashlib.md5()
+    with open(fpath, "rb") as f:
+        for chunk in iter(lambda: f.read(chunk_size), b""):
+            md5.update(chunk)
+    return md5.hexdigest()
+
+
+def check_md5(fpath, md5: str) -> bool:
+    return md5 == calculate_md5(fpath)
+
+
+def check_integrity(fpath, md5=None) -> bool:
+    import os
+
+    if not os.path.isfile(fpath):
+        return False
+    if md5 is None:
+        return True
+    return check_md5(fpath, md5)

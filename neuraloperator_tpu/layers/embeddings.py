@@ -152,3 +152,9 @@ class RotaryEmbedding2D:
             ],
             axis=-1,
         )
+
+
+def apply_rotary_pos_emb(t, freqs):
+    """Rotate features by position frequencies (reference
+    embeddings.py: apply_rotary_pos_emb, used with RotaryEmbedding2D)."""
+    return t * jnp.cos(freqs) + rotate_half(t) * jnp.sin(freqs)

@@ -287,6 +287,15 @@ class FNOBlocks(nn.Module):
             x = self.activation(x)
         return x
 
+    def get_block(self, indices: int) -> "SubModule":
+        """Return a single-layer view sharing this stack's parameters
+        (reference fno_block.py:466-476)."""
+        if self.n_layers == 1:
+            raise ValueError(
+                "A single layer is parametrized, directly use the main class."
+            )
+        return SubModule(self, indices)
+
     def _forward_preactivation(
         self, x, index, output_shape, ada_in_embedding, n_modes
     ):
@@ -324,3 +333,21 @@ class FNOBlocks(nn.Module):
             else:
                 x = self.channel_mlps[index](x)
         return x
+
+
+class SubModule:
+    """A view over one layer of an :class:`FNOBlocks` stack.
+
+    Functional counterpart of the reference's ``SubModule``
+    (fno_block.py:482-498), which shares parameters with its parent. In
+    flax, parameters live outside the module, so the view is a thin
+    callable that pins ``index``; the same params dict drives both the
+    parent and every view.
+    """
+
+    def __init__(self, fno_blocks: FNOBlocks, index: int):
+        self.fno_blocks = fno_blocks
+        self.index = index
+
+    def __call__(self, x, **kwargs):
+        return self.fno_blocks(x, self.index, **kwargs)

@@ -60,3 +60,11 @@ def dispatch_weighting_fn(name: str, sq_radius: float, scale: float = 1.0):
         return fn(sq_dist, radius=radius, scale=scale)
 
     return weight
+
+
+# Reference-named aliases (gno_weighting_functions.py:5-93)
+bump_cutoff = bump
+half_cos_cutoff = half_cos
+quadr_cutoff = quadr
+quartic_cutoff = quartic
+octic_cutoff = octic

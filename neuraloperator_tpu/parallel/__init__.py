@@ -1,1 +1,1 @@
-from . import mesh  # noqa: F401
+from . import comm, mesh  # noqa: F401

@@ -165,3 +165,30 @@ def tensor_galore_adamw(
         return updates, GaLoreState(count=count, leaves=leaves)
 
     return optax.GradientTransformation(init, update)
+
+
+class TensorGaLoreProjector:
+    """Stateful Tucker gradient projector (reference
+    tensor_galore_projector.py:66-106): refactors the functional HOSVD
+    helpers into the reference's project/project_back object API.
+    """
+
+    def __init__(self, rank, update_proj_gap: int = 200, scale: float = 1.0,
+                 activation_checkpointing: bool = False):
+        self.rank = rank
+        self.update_proj_gap = update_proj_gap
+        self.scale = scale
+        self.factors = None
+        self._step = 0
+
+    def project(self, grad, iter_: int = None):
+        step = self._step if iter_ is None else iter_
+        if self.factors is None or step % self.update_proj_gap == 0:
+            ranks = _resolve_ranks(grad.shape, self.rank)
+            self.factors = _hosvd_factors(grad, ranks)
+        self._step = step + 1
+        return _project(grad, self.factors)
+
+    def project_back(self, core):
+        assert self.factors is not None, "project() must run first"
+        return _unproject(core, self.factors) * self.scale

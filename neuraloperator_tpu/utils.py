@@ -142,3 +142,22 @@ def wandb_login(api_key_file="config/wandb_api_key.txt", key=None):
         return False
     wandb.login(key=key)
     return True
+
+
+def get_project_root():
+    """Repository root (reference utils.py get_project_root)."""
+    from pathlib import Path
+
+    return Path(__file__).parent.parent
+
+
+def set_wandb_api_key(api_key_file="config/wandb_api_key.txt"):
+    """Export WANDB_API_KEY from a key file if unset (reference utils)."""
+    import os
+
+    if "WANDB_API_KEY" not in os.environ:
+        try:
+            with open(api_key_file, "r") as f:
+                os.environ["WANDB_API_KEY"] = f.read().strip()
+        except FileNotFoundError:
+            pass

@@ -1,0 +1,238 @@
+"""API-parity additions: mpu-style comm, datasets, helpers.
+
+Covers the reference symbols added in the parity sweep: GeneralTensorDataset,
+NavierStokesDataset, load_darcy_pt, SphericalSWEDataset, poisson query
+generators + PoissonGINODataProcessor, md5 helpers, named cutoffs,
+SubModule/get_block, TensorGaLoreProjector, and the comm collectives.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from neuraloperator_tpu.parallel import comm, mesh as M
+
+
+def test_comm_collectives_shard_map():
+    mesh = M.init(model_parallel_size=4)
+    x = jnp.arange(32.0).reshape(4, 8)
+
+    def f(xs):
+        g = comm.gather_from_model_parallel_region(xs, dim=1)
+        s = comm.scatter_to_model_parallel_region(g, dim=1)
+        r = comm.reduce_from_model_parallel_region(xs.sum())
+        return g, s, r
+
+    g, s, r = jax.jit(
+        shard_map(
+            f,
+            mesh=mesh,
+            in_specs=P(None, "model"),
+            out_specs=(P(None, None), P(None, "model"), P()),
+            check_vma=False,
+        )
+    )(x)
+    np.testing.assert_allclose(g, x)
+    np.testing.assert_allclose(s, x)
+    np.testing.assert_allclose(float(r), float(x.sum()))
+
+
+def test_comm_gather_gradient():
+    mesh = M.init(model_parallel_size=4)
+    x = jnp.arange(32.0).reshape(4, 8)
+
+    def loss(xv):
+        def inner(xs):
+            return (comm.gather_from_model_parallel_region(xs, dim=1) ** 2).sum()
+
+        return shard_map(
+            inner, mesh=mesh, in_specs=P(None, "model"), out_specs=P(),
+            check_vma=False,
+        )(xv)
+
+    np.testing.assert_allclose(jax.grad(loss)(x), 2 * x)
+
+
+def test_comm_helpers():
+    x = jnp.arange(12.0).reshape(3, 4)
+    chunks = comm.split_tensor_along_dim(x, 1, 2)
+    assert [c.shape for c in chunks] == [(3, 2), (3, 2)]
+    with pytest.raises(ValueError):
+        comm.split_tensor_along_dim(x, 1, 3)
+    padded = comm.pad_helper(x, 1, 6)
+    assert padded.shape == (3, 6) and float(padded[:, 4:].sum()) == 0.0
+    assert comm.truncate_helper(padded, 1, 4).shape == (3, 4)
+    # conjugate-symmetric extension of an rfft half-spectrum inverts to the
+    # same signal as irfft
+    sig = np.random.RandomState(0).randn(8).astype(np.float32)
+    half = jnp.fft.rfft(sig)
+    full = comm.pad_helper(half, 0, 8, mode="conj")
+    np.testing.assert_allclose(
+        jnp.fft.ifft(full).real, sig, rtol=1e-5, atol=1e-5
+    )
+    assert comm.get_world_size() >= 1
+    assert comm.get_memory_format(x) == "contiguous"
+
+
+def test_general_tensor_dataset():
+    from neuraloperator_tpu.data.datasets import GeneralTensorDataset
+
+    ds = GeneralTensorDataset(
+        [np.arange(10), np.arange(10) * 2], [None, lambda v: v + 1]
+    )
+    assert ds[3] == [3, 7] and len(ds) == 10
+    single = GeneralTensorDataset([np.arange(5)], [lambda v: v * 10])
+    assert single[2] == 20
+    with pytest.raises(AssertionError):
+        GeneralTensorDataset([np.arange(3), np.arange(4)], [None, None])
+
+
+def test_load_darcy_pt():
+    from neuraloperator_tpu.data.datasets import load_darcy_pt
+
+    tl, tls, dp = load_darcy_pt(
+        8, [4, 4], 4, [2, 2], train_resolution=16, test_resolutions=[16, 32]
+    )
+    b = next(iter(tl))
+    assert b["x"].shape == (4, 1, 16, 16)
+    assert sorted(tls) == [16, 32]
+
+
+def test_spherical_swe_dataset():
+    from neuraloperator_tpu.data.datasets import SphericalSWEDataset
+
+    ds = SphericalSWEDataset(dims=(16, 32), num_examples=3)
+    item = ds[0]
+    assert item["x"].shape == (3, 16, 32) and item["y"].shape == (3, 16, 32)
+    assert len(ds) == 3
+    # deterministic per index
+    np.testing.assert_array_equal(ds[1]["x"], ds[1]["x"])
+
+
+def test_poisson_query_generators():
+    from neuraloperator_tpu.data.datasets import (
+        generate_latent_queries,
+        generate_output_queries,
+    )
+
+    lq = generate_latent_queries(8)
+    assert lq.shape == (8, 8, 2)
+    lq_pad = generate_latent_queries(8, pad=2)
+    assert lq_pad.shape == (14, 14, 2)
+    oq = generate_output_queries(16, {"r": 1.0, "seed": 1})
+    assert (oq ** 2).sum(-1).max() <= 1.0 + 1e-5
+
+
+def test_poisson_gino_processor_subsampling():
+    from neuraloperator_tpu.data.datasets import (
+        PoissonGINODataProcessor,
+        load_nonlinear_poisson_pt,
+    )
+
+    tl, te, dp = load_nonlinear_poisson_pt(
+        n_train=2, n_test=1, input_min_sample_points=100,
+        input_max_sample_points=150, output_subsample_level=0.5,
+    )
+    assert isinstance(dp, PoissonGINODataProcessor)
+    raw = next(iter(tl))
+    sample = {
+        k: (np.asarray(v)[0] if hasattr(v, "ndim") and np.asarray(v).ndim > 0
+            else v)
+        for k, v in raw.items()
+    }
+    n_before = sample["input_geom"].shape[-2]
+    pre = dp.preprocess(dict(sample), train=True)
+    assert 100 <= pre["input_geom"].shape[-2] <= 150 < n_before
+    # boundary points always kept
+    nb = int(sample["num_boundary"])
+    assert pre["output_queries"].shape[-2] >= nb
+    np.testing.assert_array_equal(
+        pre["output_queries"][:nb], np.asarray(sample["output_queries"])[:nb]
+    )
+    # eval passes through untouched
+    post = dp.preprocess(dict(sample), train=False)
+    assert post["input_geom"].shape == sample["input_geom"].shape
+
+
+def test_md5_helpers(tmp_path):
+    from neuraloperator_tpu.data.datasets import (
+        calculate_md5,
+        check_integrity,
+        check_md5,
+    )
+
+    f = tmp_path / "blob.bin"
+    f.write_bytes(b"hello world")
+    md5 = calculate_md5(f)
+    assert check_md5(f, md5) and check_integrity(f, md5)
+    assert not check_md5(f, "0" * 32)
+    assert not check_integrity(tmp_path / "nope.bin")
+    assert check_integrity(f)  # no md5 -> existence only
+
+
+def test_named_cutoffs_and_rotary():
+    from neuraloperator_tpu.layers.embeddings import (
+        RotaryEmbedding2D,
+        apply_rotary_pos_emb,
+    )
+    from neuraloperator_tpu.layers.gno_weighting_functions import (
+        bump_cutoff,
+        half_cos_cutoff,
+        octic_cutoff,
+        quadr_cutoff,
+        quartic_cutoff,
+    )
+
+    d = jnp.linspace(0.0, 0.04, 5)
+    for fn in (bump_cutoff, half_cos_cutoff, quadr_cutoff, quartic_cutoff,
+               octic_cutoff):
+        w = fn(d, 0.2)
+        assert w.shape == d.shape and float(w[-1]) <= float(w[0])
+
+    rot = RotaryEmbedding2D(dim=8)
+    freqs = rot(jnp.linspace(0, 1, 6)[None])
+    t = jnp.ones((1, 6, 8))
+    out = apply_rotary_pos_emb(t, freqs)
+    assert out.shape == t.shape
+
+
+def test_submodule_view():
+    from neuraloperator_tpu.layers.fno_block import FNOBlocks, SubModule
+
+    blocks = FNOBlocks(
+        in_channels=4, out_channels=4, n_modes=(4, 4), n_layers=2
+    )
+    x = jnp.ones((1, 4, 8, 8))
+
+    def all_layers(mdl, xx):
+        for i in range(mdl.n_layers):
+            xx = mdl(xx, i)
+        return xx
+
+    v = jax.jit(lambda r: blocks.init(r, x, method=all_layers))(
+        jax.random.PRNGKey(0)
+    )
+    direct = blocks.apply(v, x, 1)
+    # a view over a *bound* module shares the parent's parameters
+    via_view = blocks.apply(v, x, method=lambda mdl, xx: SubModule(mdl, 1)(xx))
+    np.testing.assert_allclose(direct, via_view, rtol=1e-6)
+    one = FNOBlocks(in_channels=4, out_channels=4, n_modes=(4, 4), n_layers=1)
+    with pytest.raises(ValueError):
+        one.get_block(0)
+
+
+def test_tensor_galore_projector_roundtrip():
+    from neuraloperator_tpu.training.tensor_galore import TensorGaLoreProjector
+
+    g = np.random.RandomState(0).randn(8, 8, 6, 6).astype(np.float32)
+    proj = TensorGaLoreProjector(rank=1.0, update_proj_gap=10)
+    core = proj.project(jnp.asarray(g), 0)
+    back = proj.project_back(core)
+    # full rank -> exact reconstruction
+    np.testing.assert_allclose(back, g, rtol=1e-4, atol=1e-4)
+    lossy = TensorGaLoreProjector(rank=0.5)
+    core2 = lossy.project(jnp.asarray(g), 0)
+    assert core2.size < g.size
