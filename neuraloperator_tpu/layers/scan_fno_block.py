@@ -1,0 +1,113 @@
+"""Scan-over-layers FNO blocks: one traced layer, stacked parameters.
+
+TPU-native alternative to the unrolled :class:`FNOBlocks` loop (reference
+fno_block.py iterates Python-side per layer). ``lax.scan`` traces the
+Fourier layer ONCE and stacks all per-layer parameters on a leading
+``n_layers`` axis, so compile time is O(1) in depth instead of O(n_layers)
+— the difference matters for deep stacks (16+ layers) where XLA otherwise
+re-optimizes n_layers copies of the same computation.
+
+Supported configuration is the FNO default block (dense spectral conv +
+linear/soft-gating/identity skips + ChannelMLP + post-activation, no
+norms); anything fancier falls back to the unrolled ``FNOBlocks``.
+"""
+
+from typing import Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .channel_mlp import ChannelMLP, gelu
+from .skip_connections import skip_connection
+from .spectral_convolution import SpectralConv
+
+
+class _ScanLayer(nn.Module):
+    """One Fourier layer; the body of the scan."""
+
+    channels: int
+    n_modes: Tuple[int, ...]
+    fno_skip: str
+    channel_mlp_skip: str
+    channel_mlp_expansion: float
+    non_linearity: Callable
+    max_n_modes: Optional[Tuple[int, ...]] = None
+    weight_dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, x, not_last):
+        n_dim = len(self.n_modes)
+        conv = SpectralConv(
+            in_channels=self.channels,
+            out_channels=self.channels,
+            n_modes=self.n_modes,
+            max_n_modes=self.max_n_modes,
+            weight_dtype=self.weight_dtype,
+            name="conv",
+        )
+        x_skip_fno = skip_connection(
+            self.channels, self.channels, skip_type=self.fno_skip,
+            n_dim=n_dim, name="fno_skip",
+        )(x)
+        x_skip_mlp = skip_connection(
+            self.channels, self.channels, skip_type=self.channel_mlp_skip,
+            n_dim=n_dim, name="channel_mlp_skip",
+        )(x)
+        x = conv(x) + x_skip_fno
+        # last layer skips the activation (reference fno_block.py:399-401);
+        # scan bodies are uniform, so gate with the scanned flag instead
+        x = jnp.where(not_last, self.non_linearity(x), x)
+        x = ChannelMLP(
+            in_channels=self.channels,
+            hidden_channels=round(self.channels * self.channel_mlp_expansion),
+            n_dim=n_dim,
+            name="channel_mlp",
+        )(x) + x_skip_mlp
+        x = jnp.where(not_last, self.non_linearity(x), x)
+        return x, None
+
+
+class ScanFNOBlocks(nn.Module):
+    """``n_layers`` Fourier layers applied via ``nn.scan``.
+
+    Parameters are stacked with a leading ``n_layers`` axis; the forward
+    is a single compiled layer iterated by ``lax.scan``.
+    """
+
+    in_channels: int
+    out_channels: int
+    n_modes: Tuple[int, ...]
+    n_layers: int = 4
+    fno_skip: str = "linear"
+    channel_mlp_skip: str = "soft-gating"
+    channel_mlp_expansion: float = 0.5
+    non_linearity: Callable = gelu
+    max_n_modes: Optional[Tuple[int, ...]] = None
+    weight_dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, x):
+        if self.in_channels != self.out_channels:
+            raise ValueError(
+                "scan-over-layers requires in_channels == out_channels"
+            )
+        scan = nn.scan(
+            _ScanLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=0,
+            length=self.n_layers,
+        )
+        not_last = jnp.arange(self.n_layers) < self.n_layers - 1
+        x, _ = scan(
+            channels=self.in_channels,
+            n_modes=self.n_modes,
+            fno_skip=self.fno_skip,
+            channel_mlp_skip=self.channel_mlp_skip,
+            channel_mlp_expansion=self.channel_mlp_expansion,
+            non_linearity=self.non_linearity,
+            max_n_modes=self.max_n_modes,
+            weight_dtype=self.weight_dtype,
+            name="layers",
+        )(x, not_last)
+        return x

@@ -15,6 +15,7 @@ from ..layers.channel_mlp import ChannelMLP, gelu
 from ..layers.complex import ComplexValued
 from ..layers.embeddings import GridEmbedding2D, GridEmbeddingND
 from ..layers.fno_block import FNOBlocks
+from ..layers.scan_fno_block import ScanFNOBlocks
 from ..layers.padding import DomainPadding
 from ..layers.spectral_convolution import SpectralConv
 from .base_model import register_model
@@ -62,6 +63,7 @@ class FNO(nn.Module):
     conv_module: type = SpectralConv
     enforce_hermitian_symmetry: bool = True
     weight_dtype: str = "float32"
+    scan_layers: bool = False
 
     @property
     def n_dim(self) -> int:
@@ -144,6 +146,42 @@ class FNO(nn.Module):
             self.lifting = mk_lifting("lifting")
             self.projection = mk_projection("projection")
 
+        if self.scan_layers:
+            unsupported = {
+                "norm": self.norm is not None,
+                "preactivation": self.preactivation,
+                "stabilizer": self.stabilizer is not None,
+                "resolution_scaling_factor":
+                    self.resolution_scaling_factor is not None,
+                "complex_data": self.complex_data,
+                "factorization": self.factorization is not None,
+                "separable": self.separable,
+                "conv_bias_kernel>1": self.conv_bias_kernel != 1,
+                "use_channel_mlp=False": not self.use_channel_mlp,
+                "fno_skip=None": self.fno_skip is None,
+                "channel_mlp_skip=None": self.channel_mlp_skip is None,
+            }
+            bad = [k for k, v in unsupported.items() if v]
+            if bad:
+                raise ValueError(
+                    f"scan_layers=True does not support: {', '.join(bad)}; "
+                    "use the unrolled FNOBlocks path"
+                )
+            self.fno_blocks = ScanFNOBlocks(
+                in_channels=self.hidden_channels,
+                out_channels=self.hidden_channels,
+                n_modes=self.n_modes,
+                n_layers=self.n_layers,
+                fno_skip=self.fno_skip,
+                channel_mlp_skip=self.channel_mlp_skip,
+                channel_mlp_expansion=self.channel_mlp_expansion,
+                non_linearity=self.non_linearity,
+                max_n_modes=self.max_n_modes,
+                weight_dtype=self.weight_dtype,
+                name="fno_blocks",
+            )
+            return
+
         self.fno_blocks = FNOBlocks(
             in_channels=self.hidden_channels,
             out_channels=self.hidden_channels,
@@ -206,14 +244,22 @@ class FNO(nn.Module):
         if dp is not None:
             x = dp.pad(x)
 
-        for i in range(self.n_layers):
-            x = self.fno_blocks(
-                x,
-                i,
-                output_shape=output_shapes[i],
-                ada_in_embedding=ada_in_embedding,
-                n_modes=n_modes,
-            )
+        if self.scan_layers:
+            if any(o is not None for o in output_shapes) or n_modes is not None:
+                raise ValueError(
+                    "scan_layers=True does not support per-call output_shape "
+                    "or n_modes overrides"
+                )
+            x = self.fno_blocks(x)
+        else:
+            for i in range(self.n_layers):
+                x = self.fno_blocks(
+                    x,
+                    i,
+                    output_shape=output_shapes[i],
+                    ada_in_embedding=ada_in_embedding,
+                    n_modes=n_modes,
+                )
 
         if dp is not None:
             x = dp.unpad(x)

@@ -156,3 +156,67 @@ def test_mg_patched_trainer_end_to_end():
         training_loss=LpLoss(d=2), eval_losses={"l2": LpLoss(d=2)},
     )
     assert np.isfinite(metrics["train_err"])
+
+
+class TestScanFNO:
+    def _model(self, **kw):
+        from neuraloperator_tpu.models import FNO
+
+        return FNO(n_modes=(4, 4), in_channels=1, out_channels=1,
+                   hidden_channels=8, n_layers=3, scan_layers=True, **kw)
+
+    def test_forward_backward(self):
+        m = self._model()
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 1, 16, 16))
+        v = jax.jit(m.init)(jax.random.PRNGKey(1), x)
+        w = v["params"]["fno_blocks"]["layers"]["conv"]["w_weight"]
+        assert w.shape[0] == 3  # stacked over layers
+        y = m.apply(v, x)
+        assert y.shape == (2, 1, 16, 16)
+        g = jax.grad(lambda p: (m.apply({"params": p}, x) ** 2).sum())(
+            v["params"]
+        )
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(bool(jnp.isfinite(l).all()) for l in leaves)
+
+    def test_scan_equals_manual_unroll(self):
+        """lax.scan over stacked params == sequential per-layer application."""
+        from neuraloperator_tpu.layers.scan_fno_block import (
+            ScanFNOBlocks,
+            _ScanLayer,
+        )
+
+        blocks = ScanFNOBlocks(in_channels=8, out_channels=8, n_modes=(4, 4),
+                               n_layers=3)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 12, 12))
+        v = jax.jit(blocks.init)(jax.random.PRNGKey(1), x)
+        scanned = blocks.apply(v, x)
+
+        from neuraloperator_tpu.layers.channel_mlp import gelu
+
+        layer = _ScanLayer(channels=8, n_modes=(4, 4), fno_skip="linear",
+                           channel_mlp_skip="soft-gating",
+                           channel_mlp_expansion=0.5,
+                           non_linearity=gelu)
+        out = x
+        stacked = v["params"]["layers"]
+        for i in range(3):
+            params_i = jax.tree_util.tree_map(lambda a: a[i], stacked)
+            out, _ = layer.apply({"params": params_i}, out,
+                                 jnp.asarray(i < 2))
+        np.testing.assert_allclose(scanned, out, rtol=2e-5, atol=2e-5)
+
+    def test_unsupported_configs_raise(self):
+        x = jnp.ones((1, 1, 8, 8))
+        for kw in ({"norm": "group_norm"}, {"factorization": "tucker"},
+                   {"preactivation": True}):
+            with pytest.raises(ValueError):
+                jax.eval_shape(
+                    lambda m=self._model(**kw): m.init(
+                        jax.random.PRNGKey(0), x
+                    )
+                )
+        m = self._model()
+        v = jax.jit(m.init)(jax.random.PRNGKey(1), x)
+        with pytest.raises(ValueError):
+            m.apply(v, x, output_shape=(4, 4))
