@@ -45,6 +45,11 @@ def main():
         hidden_channels=64,
         n_layers=4,
         projection_channel_ratio=4,
+        # bf16 spectral-weight storage: 17% faster steps on TPU (HBM weight
+        # traffic halved), validated at f32 convergence quality on Darcy
+        # (16_l2 0.182 bf16 vs 0.188 f32 over 20 epochs) and at H1-loss
+        # parity on this exact NS config (7.754 vs 7.745 after 31 steps)
+        weight_dtype="bfloat16",
     )
     batch = 8
     res = 128

@@ -161,3 +161,26 @@ def set_wandb_api_key(api_key_file="config/wandb_api_key.txt"):
                 os.environ["WANDB_API_KEY"] = f.read().strip()
         except FileNotFoundError:
             pass
+
+
+def count_flops(fn, *args, **kwargs):
+    """Estimate FLOPs of a jitted callable via XLA cost analysis.
+
+    TPU-native replacement for the reference's torchtnt FLOP demo
+    (examples/training/plot_count_flops.py): XLA reports exact flop
+    counts for the optimized HLO, no tracing hooks needed.
+
+    Returns a dict with 'flops' (total floating-point operations) and
+    'bytes_accessed' when the backend reports them.
+    """
+    import jax
+
+    lowered = jax.jit(fn).lower(*args, **kwargs)
+    analysis = lowered.compile().cost_analysis()
+    if isinstance(analysis, (list, tuple)):
+        analysis = analysis[0] if analysis else {}
+    analysis = dict(analysis or {})
+    return {
+        "flops": analysis.get("flops", float("nan")),
+        "bytes_accessed": analysis.get("bytes accessed", float("nan")),
+    }

@@ -220,3 +220,21 @@ class TestScanFNO:
         v = jax.jit(m.init)(jax.random.PRNGKey(1), x)
         with pytest.raises(ValueError):
             m.apply(v, x, output_shape=(4, 4))
+
+
+def test_count_flops():
+    from neuraloperator_tpu.models import FNO
+    from neuraloperator_tpu.utils import count_flops
+
+    m = FNO(n_modes=(4, 4), in_channels=1, out_channels=1,
+            hidden_channels=8, n_layers=1)
+    x = jnp.ones((1, 1, 16, 16))
+    v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+    res = count_flops(lambda p, xx: m.apply({"params": p}, xx),
+                      v["params"], x)
+    assert res["flops"] > 1e4
+    # larger resolution costs more flops
+    x2 = jnp.ones((1, 1, 32, 32))
+    res2 = count_flops(lambda p, xx: m.apply({"params": p}, xx),
+                       v["params"], x2)
+    assert res2["flops"] > res["flops"]
