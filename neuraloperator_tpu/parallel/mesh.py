@@ -127,3 +127,25 @@ def shard_params(params, mesh: Optional[Mesh] = None):
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
     out = [jax.device_put(leaf, shard_fn(path, leaf)) for path, leaf in flat]
     return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def make_distributed_batch(batch: dict, mesh: Optional[Mesh] = None) -> dict:
+    """Assemble a global batch from per-process local data (multi-host).
+
+    Counterpart of the reference's DistributedSampler + DDP input path
+    (scripts/train_darcy.py:104-119): each host loads only its shard of
+    the batch; ``jax.make_array_from_process_local_data`` stitches the
+    shards into one global array sharded over the 'data' axis. On a
+    single process this reduces exactly to :func:`shard_batch`.
+    """
+    mesh = mesh or _CURRENT_MESH
+    if mesh is None:
+        return batch
+    if jax.process_count() == 1:
+        return shard_batch(batch, mesh)
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        sharding = batch_sharding(mesh, v.ndim)
+        out[k] = jax.make_array_from_process_local_data(sharding, v)
+    return out

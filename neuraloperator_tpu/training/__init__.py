@@ -1,6 +1,11 @@
 from .optimizer import adamw, cosine_annealing, step_lr  # noqa: F401
 from .trainer import Trainer  # noqa: F401
-from .training_state import load_training_state, save_training_state  # noqa: F401
+from .training_state import (  # noqa: F401
+    load_training_state,
+    load_training_state_orbax,
+    save_training_state,
+    save_training_state_orbax,
+)
 from .incremental import IncrementalFNOTrainer  # noqa: F401
 from .patching import MultigridPatching2D, make_patches  # noqa: F401
 from .setup import setup  # noqa: F401

@@ -67,3 +67,65 @@ def load_training_state(
     if manifest_path.exists():
         epoch = json.loads(manifest_path.read_text()).get("epoch")
     return params, opt_state, epoch
+
+
+def save_training_state_orbax(
+    save_dir,
+    params,
+    opt_state=None,
+    epoch: Optional[int] = None,
+    async_save: bool = False,
+):
+    """Checkpoint via orbax (production path: sharding-aware, optionally
+    asynchronous so the step loop never blocks on host IO).
+
+    Unlike the msgpack path, orbax records array shardings — on restore
+    under the same Mesh, parameters land directly on their devices
+    without a host round-trip.
+    """
+    import orbax.checkpoint as ocp
+
+    save_dir = Path(save_dir).absolute()
+    save_dir.mkdir(parents=True, exist_ok=True)
+    state = {"params": params}
+    if opt_state is not None:
+        state["opt_state"] = opt_state
+    if epoch is not None:
+        state["epoch"] = epoch
+    ckptr = (
+        ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        if async_save
+        else ocp.Checkpointer(ocp.StandardCheckpointHandler())
+    )
+    path = save_dir / "orbax"
+    if path.exists():
+        import shutil
+
+        shutil.rmtree(path)
+    ckptr.save(path, state)
+    if async_save:
+        ckptr.wait_until_finished()
+    return path
+
+
+def load_training_state_orbax(save_dir, params_template, opt_state_template=None):
+    """Restore a checkpoint written by :func:`save_training_state_orbax`."""
+    import orbax.checkpoint as ocp
+
+    path = Path(save_dir).absolute()
+    if path.name != "orbax":
+        path = path / "orbax"
+    template = {"params": params_template}
+    if opt_state_template is not None:
+        template["opt_state"] = opt_state_template
+    template["epoch"] = 0
+    ckptr = ocp.Checkpointer(ocp.StandardCheckpointHandler())
+    try:
+        state = ckptr.restore(path, args=ocp.args.StandardRestore(template))
+    except BaseException:
+        state = ckptr.restore(path)
+    return (
+        state["params"],
+        state.get("opt_state"),
+        state.get("epoch"),
+    )

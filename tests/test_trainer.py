@@ -93,3 +93,29 @@ def test_save_best(tmp_path):
         eval_losses={"l2": l2}, save_best="test_l2", save_dir=tmp_path / "best",
     )
     assert (tmp_path / "best" / "best_model.msgpack").exists()
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    import chex
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from neuraloperator_tpu.models import FNO
+    from neuraloperator_tpu.training.training_state import (
+        load_training_state_orbax,
+        save_training_state_orbax,
+    )
+
+    m = FNO(n_modes=(4, 4), in_channels=1, out_channels=1,
+            hidden_channels=8, n_layers=1)
+    x = jnp.ones((1, 1, 8, 8))
+    p = jax.jit(m.init)(jax.random.PRNGKey(0), x)["params"]
+    opt = optax.adamw(1e-3)
+    s = opt.init(p)
+    save_training_state_orbax(tmp_path, p, s, epoch=7, async_save=True)
+    p2, s2, ep = load_training_state_orbax(
+        tmp_path, jax.tree_util.tree_map(jnp.zeros_like, p), s
+    )
+    assert ep == 7
+    chex.assert_trees_all_close(p, p2)
