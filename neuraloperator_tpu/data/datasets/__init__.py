@@ -45,3 +45,4 @@ from .car_ot_dataset import (  # noqa: F401
     load_car_ot,
     load_saved_ot,
 )
+from .prefetch import PrefetchLoader  # noqa: F401

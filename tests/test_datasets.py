@@ -71,3 +71,49 @@ def test_nonlinear_poisson_synthetic():
     assert sample["input_geom"].shape[-1] == 2
     assert sample["y"].shape[0] == sample["input_geom"].shape[0]
     assert int(sample["num_boundary"]) > 0
+
+
+def test_prefetch_loader_matches_plain():
+    import jax
+    import numpy as np
+
+    from neuraloperator_tpu.data.datasets import (
+        DataLoader,
+        PrefetchLoader,
+        TensorDataset,
+    )
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(20, 1, 8, 8).astype(np.float32)
+    ds = TensorDataset(x, 2 * x)
+    plain = list(DataLoader(ds, 8))
+    pre = list(PrefetchLoader(DataLoader(ds, 8), depth=2))
+    assert len(pre) == len(plain) == 3
+    for a, b in zip(plain, pre):
+        assert isinstance(b["x"], jax.Array)  # device-resident
+        np.testing.assert_array_equal(np.asarray(b["x"]), a["x"])
+        np.testing.assert_array_equal(np.asarray(b["y"]), a["y"])
+
+
+def test_prefetch_loader_propagates_errors():
+    import pytest as _pytest
+
+    from neuraloperator_tpu.data.datasets import PrefetchLoader
+
+    def bad_gen():
+        yield {"x": __import__("numpy").ones(3)}
+        raise RuntimeError("loader exploded")
+
+    class Bad:
+        def __iter__(self):
+            return bad_gen()
+
+        def __len__(self):
+            return 2
+
+    loader = PrefetchLoader(Bad(), depth=1)
+    with _pytest.raises(RuntimeError, match="loader exploded"):
+        list(loader)
+
+    with _pytest.raises(ValueError):
+        PrefetchLoader(Bad(), depth=0)
