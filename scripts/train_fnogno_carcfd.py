@@ -3,6 +3,9 @@
 Counterpart of /root/reference/scripts/train_fnogno_carcfd.py: the SDF on a
 regular query grid is the gridded input; an output GNO maps the latent FNO
 features to pressure at the surface vertices.
+
+Usage (flat flags — this script uses a custom loop, not Trainer):
+    python scripts/train_fnogno_carcfd.py --n_epochs 20 --latent_n 16
 """
 
 import sys

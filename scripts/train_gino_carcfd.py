@@ -4,6 +4,9 @@ Counterpart of /root/reference/scripts/train_gino_carcfd.py: point-cloud
 geometry -> latent-grid FNO -> pressure at surface vertices. Uses a custom
 loop because each mesh has its own neighbor structure (precomputed on the
 host, the TPU-native pipeline).
+
+Usage (flat flags — this script uses a custom loop, not Trainer):
+    python scripts/train_gino_carcfd.py --n_epochs 20 --latent_n 16 --radius 0.25
 """
 
 import sys

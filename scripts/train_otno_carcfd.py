@@ -3,6 +3,9 @@
 Counterpart of /root/reference/scripts/train_otno_carcfd.py: a spherical
 latent grid is transported onto the car mesh with Sinkhorn OT; the FNO runs
 on the transported features and the output is gathered back to the mesh.
+
+Usage (flat flags — this script uses a custom loop, not Trainer):
+    python scripts/train_otno_carcfd.py --n_epochs 30 --learning_rate 1e-3
 """
 
 import sys

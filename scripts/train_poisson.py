@@ -4,6 +4,9 @@ physics-informed equation loss.
 Counterpart of /root/reference/scripts/train_poisson.py: supervised data
 loss on all query points plus the Poisson interior residual computed by
 differentiating the model w.r.t. query coordinates (autograd route).
+
+Usage (flat flags — this script uses a custom loop, not Trainer):
+    python scripts/train_poisson.py --n_epochs 10 --learning_rate 1e-3
 """
 
 import sys
