@@ -100,9 +100,30 @@ class Trainer:
             if k not in ("x", "y")
         }
 
+    def _half_policy(self, params, kwargs):
+        """bf16 mixed precision: cast params + float inputs to bf16 for
+        the forward/backward; master params stay f32 (the cast is
+        differentiable, so grads land on the f32 tree). bf16's exponent
+        range matches f32, so no loss scaling is needed — the TPU-native
+        counterpart of the reference's torch.autocast
+        (trainer.py:518-536).
+        """
+        import jax.numpy as _jnp
+
+        def to_half(a):
+            if hasattr(a, "dtype") and a.dtype == _jnp.float32:
+                return a.astype(_jnp.bfloat16)
+            return a
+
+        return (
+            jax.tree_util.tree_map(to_half, params),
+            {k: to_half(jnp.asarray(v)) for k, v in kwargs.items()},
+        )
+
     def _build_train_step(self, optimizer, training_loss):
         data_processor = self.data_processor
         model = self.model
+        mixed = self.mixed_precision
 
         def loss_fn(params, batch):
             sample = dict(batch)
@@ -111,7 +132,12 @@ class Trainer:
             # dict batches carry all model arguments (reference
             # trainer.py:487-541 calls self.model(**sample))
             kwargs = {k: v for k, v in sample.items() if k != "y"}
-            out = model.apply({"params": params}, **kwargs)
+            if mixed:
+                apply_params, kwargs = self._half_policy(params, kwargs)
+            else:
+                apply_params = params
+            out = model.apply({"params": apply_params}, **kwargs)
+            out = out.astype(jnp.float32)
             if data_processor is not None:
                 out, sample = data_processor.postprocess(out, sample, train=True)
             return training_loss(out, sample["y"])
@@ -135,12 +161,17 @@ class Trainer:
         data_processor = self.data_processor
         model = self.model
 
+        mixed = self.mixed_precision
+
         def step(params, batch):
             sample = dict(batch)
             if data_processor is not None:
                 sample = data_processor.preprocess(sample, train=False)
             kwargs = {k: v for k, v in sample.items() if k != "y"}
+            if mixed:
+                params, kwargs = self._half_policy(params, kwargs)
             out = model.apply({"params": params}, **kwargs)
+            out = out.astype(jnp.float32)
             if data_processor is not None:
                 out, sample = data_processor.postprocess(out, sample, train=False)
             return {

@@ -119,3 +119,23 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     )
     assert ep == 7
     chex.assert_trees_all_close(p, p2)
+
+
+def test_mixed_precision_training():
+    """bf16 mixed precision trains to ~the same loss as f32."""
+    rng = np.random.RandomState(0)
+    x = rng.randn(32, 1, 16, 16).astype(np.float32)
+    ds = TensorDataset(x, 2 * x)
+    results = {}
+    for mp in (False, True):
+        model = FNO(n_modes=(4, 4), in_channels=1, out_channels=1,
+                    hidden_channels=8, n_layers=2)
+        trainer = Trainer(model=model, n_epochs=4, mixed_precision=mp)
+        metrics = trainer.train(
+            DataLoader(ds, 8), {"t": DataLoader(ds, 8)}, adamw(3e-3),
+            training_loss=LpLoss(d=2), eval_losses={"l2": LpLoss(d=2)},
+        )
+        results[mp] = metrics["t_l2"]
+    assert np.isfinite(results[True])
+    # bf16 master-weight training should land within a few percent of f32
+    assert abs(results[True] - results[False]) / results[False] < 0.1
