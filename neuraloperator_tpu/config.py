@@ -111,6 +111,8 @@ class FNOModelConfig(ConfigBase):
     implementation: str = "factorized"
     factorization: Optional[str] = None
     rank: float = 1.0
+    weight_dtype: str = "float32"
+    scan_layers: bool = False
 
 
 @dataclass

@@ -70,11 +70,18 @@ class IncrementalFNOTrainer(Trainer):
         data_processor = self.data_processor
         model = self.model
 
+        mixed = self.mixed_precision
+
         def loss_fn(params, batch):
             sample = dict(batch)
             if data_processor is not None:
                 sample = data_processor.preprocess(sample, train=True)
-            out = model.apply({"params": params}, sample["x"], n_modes=n_modes)
+            x = sample["x"]
+            if mixed:
+                params, half = self._half_policy(params, {"x": x})
+                x = half["x"]
+            out = model.apply({"params": params}, x, n_modes=n_modes)
+            out = out.astype(jnp.float32)
             if data_processor is not None:
                 out, sample = data_processor.postprocess(out, sample, train=True)
             return training_loss(out, sample["y"])
