@@ -260,9 +260,12 @@ class Trainer:
                 eval_metrics = self.evaluate_all(eval_step, test_loaders)
                 all_metrics.update(eval_metrics)
                 if self.wandb_log and self._wandb is not None:
-                    self._wandb.log(
-                        {**eval_metrics, "train_err": train_err}, step=epoch
-                    )
+                    payload = {**eval_metrics, "train_err": train_err}
+                    if self.log_output:
+                        img = self._render_eval_output(test_loaders)
+                        if img is not None:
+                            payload["eval_output"] = img
+                    self._wandb.log(payload, step=epoch)
                 if self.verbose:
                     msg = ", ".join(
                         f"{k}={v:.5f}" for k, v in eval_metrics.items()
@@ -293,6 +296,32 @@ class Trainer:
                 epoch=self.n_epochs - 1,
             )
         return all_metrics
+
+    def _render_eval_output(self, test_loaders: Dict):
+        """First eval prediction as a wandb.Image (reference
+        trainer.py:465-466 logs model outputs when log_output=True)."""
+        if self._wandb is None or not test_loaders:
+            return None
+        try:
+            loader = next(iter(test_loaders.values()))
+            batch = self._put(dict(next(iter(loader))))
+            sample = dict(batch)
+            if self.data_processor is not None:
+                sample = self.data_processor.preprocess(sample, train=False)
+            kwargs = {k: v for k, v in sample.items() if k != "y"}
+            out = self.model.apply({"params": self.params}, **kwargs)
+            if self.data_processor is not None:
+                out, _ = self.data_processor.postprocess(
+                    out, sample, train=False
+                )
+            arr = np.asarray(out)[0]
+            while arr.ndim > 2:  # first channel / first slice of >2-D fields
+                arr = arr[0]
+            lo, hi = float(arr.min()), float(arr.max())
+            arr = (arr - lo) / (hi - lo + 1e-12)
+            return self._wandb.Image(arr)
+        except Exception:
+            return None  # logging must never break training
 
     # ------------------------------------------------------------------ #
     def evaluate_all(self, eval_step, test_loaders: Dict) -> Dict[str, float]:

@@ -139,3 +139,35 @@ def test_mixed_precision_training():
     assert np.isfinite(results[True])
     # bf16 master-weight training should land within a few percent of f32
     assert abs(results[True] - results[False]) / results[False] < 0.1
+
+
+def test_wandb_log_output_image(monkeypatch):
+    """log_output=True attaches an eval-output image to the wandb payload."""
+    import sys
+    import types
+
+    logged = {}
+    stub = types.ModuleType("wandb")
+
+    class _Img:
+        def __init__(self, arr):
+            self.shape = np.asarray(arr).shape
+
+    stub.Image = _Img
+    stub.log = lambda payload, step=None: logged.setdefault(step, payload)
+    monkeypatch.setitem(sys.modules, "wandb", stub)
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(16, 1, 8, 8).astype(np.float32)
+    ds = TensorDataset(x, 2 * x)
+    model = FNO(n_modes=(4, 4), in_channels=1, out_channels=1,
+                hidden_channels=8, n_layers=1)
+    trainer = Trainer(model=model, n_epochs=1, wandb_log=True,
+                      log_output=True)
+    trainer.train(
+        DataLoader(ds, 8), {"t": DataLoader(ds, 8)}, adamw(1e-3),
+        training_loss=LpLoss(d=2), eval_losses={"l2": LpLoss(d=2)},
+    )
+    assert "eval_output" in logged[0]
+    assert logged[0]["eval_output"].shape == (8, 8)
+    assert "t_l2" in logged[0]
