@@ -129,6 +129,12 @@ class SphericalSWEDataset:
         normalize: bool = True,
         seed: int = 0,
     ):
+        if initial_condition != "random":
+            raise ValueError(
+                f"initial_condition must be 'random' (got "
+                f"{initial_condition!r}); Galewsky-style ICs are not "
+                "implemented in this build"
+            )
         # heuristic from the reference: finer grids need smaller solver dt
         dt_min = 256 / dims[0] * 150
         self.nsteps = max(int(dt // dt_min), 1)

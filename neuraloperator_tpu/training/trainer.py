@@ -367,6 +367,9 @@ class Trainer:
 
     def _eval_autoregressive(self, batch, eval_losses, max_steps):
         """Rollout eval: y is a trajectory (b, T, c, spatial...)."""
+        if max_steps is None:
+            # a the_well-style processor can carry the rollout horizon
+            max_steps = getattr(self.data_processor, "n_steps_rollout", None)
         if self._autoreg_step is None:
             model = self.model
             data_processor = self.data_processor

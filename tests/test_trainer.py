@@ -171,3 +171,34 @@ def test_wandb_log_output_image(monkeypatch):
     assert "eval_output" in logged[0]
     assert logged[0]["eval_output"].shape == (8, 8)
     assert "t_l2" in logged[0]
+
+
+def test_autoregression_horizon_from_processor():
+    """n_steps_rollout on the data processor caps the rollout length."""
+    import jax
+    import jax.numpy as jnp
+
+    from neuraloperator_tpu.data.transforms import TheWellDataProcessor
+
+    model = FNO(n_modes=(4, 4), in_channels=1, out_channels=1,
+                hidden_channels=8, n_layers=1)
+    x = np.random.RandomState(0).randn(2, 1, 8, 8).astype(np.float32)
+    y = np.random.RandomState(1).randn(2, 5, 1, 8, 8).astype(np.float32)
+
+    calls = []
+
+    class CountingLoss:
+        def __call__(self, out, target):
+            calls.append(1)
+            return jnp.mean((out - target) ** 2)
+
+    dp = TheWellDataProcessor(n_steps_rollout=2)
+    trainer = Trainer(model=model, n_epochs=1, data_processor=dp)
+    trainer.params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.asarray(x)
+    )["params"]
+    trainer._eval_autoregressive(
+        {"x": jnp.asarray(x), "y": jnp.asarray(y)},
+        {"l2": CountingLoss()}, None,
+    )
+    assert len(calls) == 2  # horizon from processor, not y's 5 steps
