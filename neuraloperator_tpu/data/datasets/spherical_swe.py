@@ -14,6 +14,21 @@ import numpy as np
 from ...ops.sht import isht, sht
 
 
+def _host_cpu():
+    """CPU device for eager spectral data generation.
+
+    The solver manipulates complex SHT coefficients EAGERLY; restricted
+    TPU runtimes cannot transfer complex arrays host-side, so generation
+    pins to the CPU backend when one is available.
+    """
+    import jax
+
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:
+        return None
+
+
 class SphericalSWESolver:
     """Coarse spectral dynamics on the sphere.
 
@@ -33,8 +48,17 @@ class SphericalSWESolver:
 
     def random_state(self, rng: np.random.Generator) -> np.ndarray:
         """Random smooth 3-channel field on the sphere."""
+        import contextlib
+
+        import jax
         import jax.numpy as jnp
 
+        dev = _host_cpu()
+        ctx = jax.default_device(dev) if dev is not None else contextlib.nullcontext()
+        with ctx:
+            return self._random_state(rng, jnp)
+
+    def _random_state(self, rng, jnp) -> np.ndarray:
         lmax = self.lmax
         coeffs = rng.standard_normal((3, lmax, lmax)) + 1j * rng.standard_normal(
             (3, lmax, lmax)
@@ -52,8 +76,17 @@ class SphericalSWESolver:
 
     def step(self, state: np.ndarray, dt: float = 0.1, n_steps: int = 10):
         """Advance the state: per-degree rotation phases + diffusion."""
+        import contextlib
+
+        import jax
         import jax.numpy as jnp
 
+        dev = _host_cpu()
+        ctx = jax.default_device(dev) if dev is not None else contextlib.nullcontext()
+        with ctx:
+            return self._step(state, dt, n_steps, jnp)
+
+    def _step(self, state, dt, n_steps, jnp):
         flm = sht(
             jnp.asarray(state), lmax=self.lmax, mmax=self.lmax,
             grid="equiangular",

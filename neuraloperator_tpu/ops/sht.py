@@ -75,16 +75,26 @@ def _quadrature(nlat: int, grid: str) -> Tuple[np.ndarray, np.ndarray]:
 
 
 @functools.lru_cache(maxsize=32)
-def _sht_matrices(nlat: int, lmax: int, mmax: int, grid: str):
-    """(analysis[l,m,j] incl. weights & 2π, synthesis[j,l,m]) as float32."""
+def _sht_matrices_np(nlat: int, lmax: int, mmax: int, grid: str):
+    """(analysis[l,m,j] incl. weights & 2π, synthesis[j,l,m]) as float32.
+
+    Cached as NUMPY arrays: caching jnp arrays would capture tracers when
+    the first call happens inside a jit trace (the array created under
+    one trace leaks into the next — UnexpectedTracerError).
+    """
     x, w = _quadrature(nlat, grid)
     P = _normalized_legendre(lmax, mmax, x)  # (l, m, j)
     analysis = 2.0 * np.pi * P * w[None, None, :]
     synthesis = np.transpose(P, (2, 0, 1))  # (j, l, m)
     return (
-        jnp.asarray(analysis, jnp.float32),
-        jnp.asarray(synthesis, jnp.float32),
+        np.asarray(analysis, np.float32),
+        np.asarray(synthesis, np.float32),
     )
+
+
+def _sht_matrices(nlat: int, lmax: int, mmax: int, grid: str):
+    a, s = _sht_matrices_np(nlat, lmax, mmax, grid)
+    return jnp.asarray(a), jnp.asarray(s)
 
 
 def sht(
