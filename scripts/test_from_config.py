@@ -24,7 +24,7 @@ def main():
     shape = (2, config.model.data_channels) + (16,) * n_dim
     x = jax.random.normal(jax.random.PRNGKey(0), shape)
     variables = jax.jit(model.init)(jax.random.PRNGKey(1), x)
-    out = model.apply(variables, x)
+    out = jax.jit(lambda v, xx: model.apply(v, xx))(variables, x)
     loss, grads = jax.value_and_grad(
         lambda p: jnp.sum(model.apply({"params": p}, x) ** 2)
     )(variables["params"])

@@ -133,9 +133,10 @@ def main():
 
     # final eval
     l2 = LpLoss(d=2)
+    fwd = jax.jit(lambda p, xx: model.apply({"params": p}, xx))
     errs = []
     for batch in test_loader:
-        out = model.apply({"params": params}, jnp.asarray(batch["x"]))
+        out = fwd(params, jnp.asarray(batch["x"]))
         errs.append(float(l2(out, jnp.asarray(batch["y"]))))
     print("test l2 (sum-reduced batches):", np.mean(errs))
     return params

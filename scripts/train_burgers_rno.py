@@ -91,7 +91,9 @@ def main():
         if config.verbose:
             print(f"[{epoch}] train l2 {np.mean(losses):.5f}")
 
-    out = model.apply({"params": params}, jnp.asarray(x_test))
+    out = jax.jit(lambda p, xx: model.apply({"params": p}, xx))(
+        params, jnp.asarray(x_test)
+    )
     print("test l2:", float(l2(out, jnp.asarray(y_test))) / len(x_test))
     return params
 

@@ -96,7 +96,9 @@ def main():
 
     for s in test:
         in_p, out_p, f, y = prep(s)
-        out = model.apply({"params": params}, in_p, out_p, f)
+        out = jax.jit(
+            lambda p, a, b, c: model.apply({"params": p}, a, b, c)
+        )(params, in_p, out_p, f)
         print("test l2:", float(l2(out.T[None], y.T[None])))
     return params
 

@@ -107,7 +107,9 @@ def main():
     # test
     for s in test:
         geom, lq, oq, x, y = prep(s)
-        out = model.apply({"params": params}, geom, lq, oq, x)
+        out = jax.jit(
+            lambda p, a, b, c, d: model.apply({"params": p}, a, b, c, d)
+        )(params, geom, lq, oq, x)
         err = float(
             l2(jnp.transpose(out, (0, 2, 1)), jnp.transpose(y, (0, 2, 1)))
         )

@@ -91,7 +91,9 @@ def main():
 
     for s in test:
         x, ind_dec, y = prep(s)
-        out = model.apply({"params": params}, x, ind_dec)
+        out = jax.jit(
+            lambda p, a, b: model.apply({"params": p}, a, b)
+        )(params, x, ind_dec)
         print("test l2:", float(l2(out[None], y[None])))
     return params
 

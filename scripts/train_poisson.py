@@ -124,7 +124,9 @@ def main():
 
     for i in range(len(ds.test_data)):
         f_grid, queries, y, _, _ = prep(ds.test_data[i])
-        out = model.apply({"params": params}, in_p, queries, f_grid)
+        out = jax.jit(
+            lambda p, a, b, c: model.apply({"params": p}, a, b, c)
+        )(params, in_p, queries, f_grid)
         print("test l2:", float(l2(out.T[None], y.T[None])))
     return params
 

@@ -99,8 +99,12 @@ def main():
     for batch in test_loaders[16]:
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         sample = dp.preprocess(dict(batch), train=False)
-        sol = base.apply({"params": base_params}, sample["x"])
-        band = residual.apply({"params": res_params}, sample["x"])
+        sol = jax.jit(lambda p, xx: base.apply({"params": p}, xx))(
+            base_params, sample["x"]
+        )
+        band = jax.jit(lambda p, xx: residual.apply({"params": p}, xx))(
+            res_params, sample["x"]
+        )
         sol, _ = dp.postprocess(sol, sample, train=False)
         err = np.abs(np.asarray(batch["y"]) - np.asarray(sol))
         inside += (err <= np.abs(np.asarray(band))).sum()
