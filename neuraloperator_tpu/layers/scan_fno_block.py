@@ -36,6 +36,7 @@ class _ScanLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, not_last):
+        in_dtype = x.dtype  # scan carry dtype must be stable across layers
         n_dim = len(self.n_modes)
         conv = SpectralConv(
             in_channels=self.channels,
@@ -64,7 +65,7 @@ class _ScanLayer(nn.Module):
             name="channel_mlp",
         )(x) + x_skip_mlp
         x = jnp.where(not_last, self.non_linearity(x), x)
-        return x, None
+        return x.astype(in_dtype), None
 
 
 class ScanFNOBlocks(nn.Module):
