@@ -1,18 +1,28 @@
-"""Benchmark: Navier-Stokes-128² FNO training steps/sec on one chip.
+"""Benchmark: Navier-Stokes-128² FNO training on one chip.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N}
+Prints ONE JSON line with BOTH BASELINE.json metrics:
+
+  {"metric": "ns128_fno_train_steps_per_sec", "value": N,
+   "unit": "steps/sec", "vs_baseline": N,
+   "spectral_conv_fwdbwd_ms_64modes": N, ...roofline fields...}
 
 Config matches the reference's NS-128² training north star
 (/root/reference/config/navier_stokes_config.py:10-40 + config/models.py:58-68):
 FNO, n_modes 64x64, hidden 64, 4 layers, projection ratio 4, batch 8,
 H1 train loss, AdamW — full jitted train step (fwd+bwd+update).
 
-``vs_baseline`` compares against an estimated reference A100 PyTorch
-wall-clock of 10 steps/sec for this config (the reference publishes no
-numbers; see BASELINE.md). Re-estimated in later rounds.
+Baseline derivation (see BASELINE.md "Baseline derivation"): the reference
+publishes no wall-clock numbers; the A100 PyTorch estimate for this config
+is ~40 train steps/sec (eager per-op launch overhead + unfused complex
+einsums dominate; the analytic FLOP count of the step is ~27 GFLOP, so
+40 steps/s is ~1.1 TFLOPS effective — single-digit-percent A100
+utilization, which matches eager-mode FNO practice). ``vs_baseline`` is
+steps/sec divided by that 40. The roofline fields report achieved FLOPS
+against the same-process measured matmul ceiling of this (time-shared,
+axon-relayed) chip so the utilization claim is principled.
 """
 
+import argparse
 import json
 import time
 
@@ -20,42 +30,128 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# The reference publishes no numbers (BASELINE.md). Estimate for PyTorch
-# eager FNO (n_modes 64^2, hidden 64, 4 layers, batch 8, res 128^2, TF32,
-# cuFFT) on A100: ~40 train steps/sec — per-op launch overhead and
-# unfused complex einsums dominate. Revisit when a measured number exists.
 BASELINE_A100_STEPS_PER_SEC = 40.0
+
+# NS-128 bench model config
+BATCH, RES, HIDDEN, LAYERS, MODES = 8, 128, 64, 4, 64
+
+
+def analytic_step_flops() -> float:
+    """Analytic FLOPs of one train step (fwd+bwd ~= 3x fwd).
+
+    Counts the spectral contractions (4 real MACs per complex MAC), the
+    FFTs (~5 N log2 N per transformed axis), and the lifting/projection/
+    channel MLPs. Matches training/profiling.py conventions.
+    """
+    m_kept = MODES * (MODES // 2 + 1)  # rfft half-spectrum block
+    contraction = 4 * 2 * BATCH * HIDDEN * HIDDEN * m_kept  # per layer
+    n_pix = RES * RES
+    fft = 2 * 5 * BATCH * HIDDEN * n_pix * np.log2(n_pix)  # rfft+irfft
+    skip = 2 * BATCH * HIDDEN * HIDDEN * n_pix  # 1x1 conv skip
+    mlp = 2 * 2 * BATCH * HIDDEN * HIDDEN * n_pix  # channel MLP (2 layers)
+    per_layer = contraction + fft + skip + mlp
+    lifting = 2 * BATCH * n_pix * (3 * 256 + 256 * HIDDEN)
+    projection = 2 * BATCH * n_pix * (HIDDEN * 256 + 256 * 1)
+    fwd = LAYERS * per_layer + lifting + projection
+    return 3.0 * fwd
+
+
+def measure_matmul_ceiling(dtype=jnp.bfloat16, n=2048, iters=8) -> float:
+    """Observed matmul TFLOPS ceiling on this chip (time-shared -> noisy)."""
+    a = jnp.asarray(np.random.RandomState(0).randn(n, n), dtype)
+    b = jnp.asarray(np.random.RandomState(1).randn(n, n), dtype)
+
+    @jax.jit
+    def f(a, b):
+        return a @ b
+
+    c = f(a, b)
+    float(jnp.sum(c.astype(jnp.float32)))  # compile + completion barrier
+    t0 = time.perf_counter()
+    cur = a
+    for _ in range(iters):
+        cur = f(cur, b) * jnp.asarray(1e-3, dtype)
+    float(jnp.sum(cur.astype(jnp.float32)))
+    dt = time.perf_counter() - t0
+    return 2 * n**3 * iters / dt / 1e12
+
+
+def bench_spectral_conv(precision: str, n_iters: int = 30) -> float:
+    """SpectralConv fwd+bwd latency (ms) at 64^2 modes, res 128 — the
+    second BASELINE.json metric."""
+    from neuraloperator_tpu.layers.spectral_convolution import SpectralConv
+
+    conv = SpectralConv(
+        in_channels=HIDDEN,
+        out_channels=HIDDEN,
+        n_modes=(MODES, MODES),
+        fno_block_precision=precision,
+    )
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(BATCH, HIDDEN, RES, RES), jnp.float32)
+    params = jax.jit(conv.init)(jax.random.PRNGKey(0), x)
+
+    @jax.jit
+    def fwd_bwd(params, x):
+        def loss(p, xx):
+            return jnp.sum(conv.apply(p, xx) ** 2)
+
+        val, gx = jax.value_and_grad(loss, argnums=1)(params, x)
+        return gx
+
+    gx = fwd_bwd(params, x)
+    float(gx[0, 0, 0, 0])  # compile + completion barrier
+    t0 = time.perf_counter()
+    cur = x
+    for _ in range(n_iters):
+        cur = 0.5 * cur + 1e-3 * fwd_bwd(params, cur)
+    float(cur[0, 0, 0, 0])
+    dt = time.perf_counter() - t0
+    return dt / n_iters * 1e3
 
 
 def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "xla", "pallas"],
+                   help="dense-contraction backend")
+    p.add_argument("--block-precision", default="mixed",
+                   choices=["full", "mixed"],
+                   help="SpectralConv contraction precision")
+    p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--skip-aux", action="store_true",
+                   help="skip the conv-latency and roofline measurements")
+    args = p.parse_args()
+
     import optax
 
     from neuraloperator_tpu.losses import H1Loss
     from neuraloperator_tpu.models import FNO
+    from neuraloperator_tpu.ops.contractions import set_contraction_backend
     from neuraloperator_tpu.training import setup
 
     # TF32-class matmul precision: 4e-5 max rel err vs f32 on FNO forward,
     # mirroring the reference's A100 TF32 training configuration
     setup(matmul_precision="tensorfloat32")
+    set_contraction_backend(args.backend)
 
     model = FNO(
-        n_modes=(64, 64),
+        n_modes=(MODES, MODES),
         in_channels=1,
         out_channels=1,
-        hidden_channels=64,
-        n_layers=4,
+        hidden_channels=HIDDEN,
+        n_layers=LAYERS,
         projection_channel_ratio=4,
-        # bf16 spectral-weight storage: 17% faster steps on TPU (HBM weight
-        # traffic halved), validated at f32 convergence quality on Darcy
-        # (16_l2 0.182 bf16 vs 0.188 f32 over 20 epochs) and at H1-loss
-        # parity on this exact NS config (7.754 vs 7.745 after 31 steps)
+        # bf16 spectral-weight storage: halves the HBM weight traffic;
+        # convergence validated at f32 quality on Darcy (PARITY.md)
         weight_dtype="bfloat16",
+        # 'mixed': bf16 contraction operands, f32 accumulation — the
+        # MXU-native fast path (A/B'd vs f32 in BASELINE.md)
+        fno_block_precision=args.block_precision,
     )
-    batch = 8
-    res = 128
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(batch, 1, res, res), jnp.float32)
-    y = jnp.asarray(rng.randn(batch, 1, res, res), jnp.float32)
+    x = jnp.asarray(rng.randn(BATCH, 1, RES, RES), jnp.float32)
+    y = jnp.asarray(rng.randn(BATCH, 1, RES, RES), jnp.float32)
 
     # jit the init: eager init would execute complex intermediates op-by-op,
     # which restricted TPU runtimes cannot handle at this size
@@ -65,9 +161,7 @@ def main():
     h1 = H1Loss(d=2)
 
     # bf16 mixed precision (Trainer mixed_precision=True semantics):
-    # forward/backward in bf16 with f32 master weights. Convergence
-    # validated at f32 quality on Darcy (16_l2 0.182 mixed vs 0.189 f32,
-    # 20 epochs) and loss-identical on this config (7.7544 vs 7.7539)
+    # forward/backward in bf16 with f32 master weights
     def to_half(a):
         return a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a
 
@@ -87,27 +181,39 @@ def main():
     params, opt_state, loss = step(params, opt_state, x, y)
     float(loss)
 
-    n_iters = 50
     t0 = time.perf_counter()
-    for _ in range(n_iters):
+    for _ in range(args.iters):
         params, opt_state, loss = step(params, opt_state, x, y)
     final_loss = float(loss)  # host transfer = true completion barrier
     dt = time.perf_counter() - t0
     assert np.isfinite(final_loss)
-    steps_per_sec = n_iters / dt
+    steps_per_sec = args.iters / dt
 
-    print(
-        json.dumps(
+    result = {
+        "metric": "ns128_fno_train_steps_per_sec",
+        "value": round(steps_per_sec, 3),
+        "unit": "steps/sec",
+        "vs_baseline": round(steps_per_sec / BASELINE_A100_STEPS_PER_SEC, 3),
+    }
+
+    if not args.skip_aux:
+        conv_ms = bench_spectral_conv(args.block_precision)
+        ceiling = measure_matmul_ceiling()
+        flops = analytic_step_flops()
+        achieved = flops * steps_per_sec / 1e12
+        result.update(
             {
-                "metric": "ns128_fno_train_steps_per_sec",
-                "value": round(steps_per_sec, 3),
-                "unit": "steps/sec",
-                "vs_baseline": round(
-                    steps_per_sec / BASELINE_A100_STEPS_PER_SEC, 3
-                ),
+                "spectral_conv_fwdbwd_ms_64modes": round(conv_ms, 3),
+                "step_gflops_analytic": round(flops / 1e9, 1),
+                "achieved_tflops": round(achieved, 3),
+                "matmul_ceiling_tflops_bf16": round(ceiling, 2),
+                "mfu_vs_observed_ceiling": round(achieved / ceiling, 4),
+                "backend": args.backend,
+                "block_precision": args.block_precision,
             }
         )
-    )
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -324,6 +324,9 @@ def spectral_conv_forward(
             spec_s, params_s = slice_factors(spec_s, params_s, trim)
 
     # --- contract on the MXU (split real/imag -> real matmuls) ---
+    # half/mixed: bf16 operands, f32 accumulation — the MXU-native fast
+    # path (reference runs the contraction in chalf under autocast,
+    # spectral_convolution.py:436-459)
     out_r, out_i = contract_block(
         (block[0], block[1]),
         spec_s,
@@ -331,6 +334,9 @@ def spectral_conv_forward(
         separable=separable,
         implementation=implementation,
         return_parts=True,
+        compute_dtype=(
+            jnp.bfloat16 if fno_block_precision in ("half", "mixed") else None
+        ),
     )
     OUT = jnp.stack([out_r, out_i])
 

@@ -12,6 +12,7 @@ from typing import Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _central(u, h, axis, order):
@@ -201,75 +202,242 @@ def central_diff_3d(x, h, fix_x_bnd=False, fix_y_bnd=False, fix_z_bnd=False):
 
 
 class FourierDiff:
-    """Spectral differentiation along the last dim(s).
+    """Unified 1/2/3-D spectral differentiation.
 
-    Subset of reference ``FourierDiff`` (differentiation.py:858-1360): exact
-    derivatives of periodic signals via multiplication by (ik)^n in Fourier
-    space; ``L`` is the domain length.
+    API-complete counterpart of reference ``FourierDiff``
+    (``/root/reference/neuralop/losses/differentiation.py:858-1360``): exact
+    derivatives of periodic signals via multiplication by ``(ik)^n`` in
+    Fourier space, with optional Fourier continuation ('Legendre' or 'Gram')
+    for non-periodic data and optional low-pass filtering. ``dx``
+    differentiates the first spatial axis (axis ``-dim``), ``dy`` the next,
+    ``dz`` the last, matching the reference's axis conventions.
+
+    TPU note: everything between the forward and inverse FFTs runs
+    split-real — the ``(ik)^n`` multiplier is decomposed into a real
+    amplitude ``prod_j k_j^{o_j}`` and a phase ``i^{sum o_j}`` applied as a
+    real rotation, so no complex HLO op other than the FFTs is emitted.
     """
 
-    def __init__(self, dim: int = 1, L: Union[float, Sequence[float]] = 2 * jnp.pi,
-                 use_fc: bool = False, fc_degree: int = 4,
+    def __init__(self, dim: int, L=None, use_fc=False, fc_degree: int = 4,
                  fc_n_additional_pts: int = 50, low_pass_filter_ratio=None):
+        if dim not in (1, 2, 3):
+            raise ValueError("dim must be 1, 2, or 3")
         self.dim = dim
-        if isinstance(L, (int, float)):
-            L = [float(L)] * dim
-        self.L = list(L)
+        if L is None:
+            L = 2 * float(jnp.pi)
+        if not isinstance(L, (tuple, list)):
+            L = (float(L),) * dim
+        if len(L) != dim:
+            raise ValueError(
+                f"For {dim}D, L must be a single float or a {dim}-tuple"
+            )
+        self.L = tuple(float(v) for v in L)
         self.use_fc = use_fc
+        self.fc_degree = fc_degree
+        self.fc_n_additional_pts = fc_n_additional_pts
         self.low_pass_filter_ratio = low_pass_filter_ratio
+
+        self.FC = None
         if use_fc:
-            from ..layers.fourier_continuation import FCLegendre
+            from ..layers.fourier_continuation import FCGram, FCLegendre
 
-            self.fc = FCLegendre(d=fc_degree, n_additional_pts=fc_n_additional_pts)
-        else:
-            self.fc = None
+            name = "legendre" if use_fc is True else str(use_fc).lower()
+            if name == "legendre":
+                self.FC = FCLegendre(
+                    d=fc_degree, n_additional_pts=fc_n_additional_pts
+                )
+            elif name == "gram":
+                self.FC = FCGram(
+                    d=fc_degree, n_additional_pts=fc_n_additional_pts
+                )
+            else:
+                raise ValueError(
+                    f"Given FC input {use_fc!r} is not valid. "
+                    "Must be 'legendre' or 'gram'."
+                )
+        # kept for backward compatibility with earlier revisions
+        self.fc = self.FC
 
-    def _k(self, n: int, L: float):
-        return 2 * jnp.pi * jnp.fft.fftfreq(n, d=1.0 / n) / L
+    def compute_multiple_derivatives(self, u, derivatives):
+        """Compute several derivatives sharing ONE forward/backward FFT.
 
-    def _d_axis(self, u, order: int, axis: int, L: float):
-        if self.fc is not None:
-            # extend the non-periodic signal to a smooth periodic one, take
-            # the spectral derivative there, and restrict back
-            # (reference FourierDiff FC route, differentiation.py:858-1360)
-            n_orig = u.shape[axis]
-            u = self.fc.extend(u, dim=(axis,))
-            L = L * u.shape[axis] / n_orig
-        n = u.shape[axis]
-        k = self._k(n, L)
+        ``derivatives``: list of int orders (1-D) or order tuples (2/3-D),
+        e.g. ``[(1, 0), (0, 1)]``. Returns a list of real arrays in the same
+        order (reference ``compute_multiple_derivatives``,
+        differentiation.py:1002-1027).
+        """
+        orders = [
+            (int(o),) if isinstance(o, (int, np.integer)) else tuple(o)
+            for o in derivatives
+        ]
+        for o in orders:
+            if len(o) != self.dim:
+                raise ValueError(
+                    f"For {self.dim}D, each derivative spec needs "
+                    f"{self.dim} orders, got {o}"
+                )
+
+        u = jnp.asarray(u)
+        axes = list(range(-self.dim, 0))
+        sizes = [u.shape[a] for a in axes]
+        L = list(self.L)
+
+        if self.FC is not None:
+            # extend to a smooth periodic function on a larger domain, then
+            # restrict the derivatives back (reference FC route)
+            u = self.FC.extend(u, dim=self.dim)
+            L = [
+                l * (n + self.fc_n_additional_pts) / n
+                for l, n in zip(L, sizes)
+            ]
+            sizes = [u.shape[a] for a in axes]
+
+        # one forward FFT, split-real thereafter
+        uh = jnp.fft.fftn(u.astype(jnp.float32), axes=axes)
+        ur, ui = jnp.real(uh), jnp.imag(uh)
+
+        # per-axis angular frequencies (host-side numpy constants)
+        ks = [
+            2 * np.pi * np.fft.fftfreq(n, d=l / n)
+            for n, l in zip(sizes, L)
+        ]
         if self.low_pass_filter_ratio is not None:
-            cutoff = self.low_pass_filter_ratio * jnp.max(jnp.abs(k))
-            filt = (jnp.abs(k) <= cutoff).astype(u.dtype)
-            k = k * filt
-        shape = [1] * u.ndim
-        shape[axis] = n
-        uh = jnp.fft.fft(u, axis=axis)
-        duh = ((1j * k.reshape(shape)) ** order) * uh
-        out = jnp.real(jnp.fft.ifft(duh, axis=axis))
-        if self.fc is not None:
-            out = self.fc.restrict(out, dim=(axis,))
-        return out
+            # symmetric per-axis cutoff: zero |freq index| >= int(n/2 * r)
+            # (the 1-D reference semantics, applied per axis)
+            for j, n in enumerate(sizes):
+                cutoff = int((n // 2 + 1) * self.low_pass_filter_ratio)
+                idx = np.minimum(np.arange(n), n - np.arange(n))
+                filt = (idx < cutoff).astype(np.float32)
+                shape = [1] * u.ndim
+                shape[axes[j]] = n
+                f = jnp.asarray(filt.reshape(shape))
+                ur, ui = ur * f, ui * f
+
+        outs = []
+        for o in orders:
+            # (i k)^o = i^{sum o} * prod_j k_j^{o_j}: real amplitude K and a
+            # quarter-turn phase applied as a real rotation of (re, im)
+            K = np.ones((), np.float32)
+            for j, (k, oj, n) in enumerate(zip(ks, o, sizes)):
+                if oj == 0:
+                    continue
+                shape = [1] * self.dim
+                shape[j] = n
+                K = K * (k.astype(np.float64) ** oj).reshape(shape)
+            K = jnp.asarray(
+                np.broadcast_to(K, sizes).astype(np.float32)
+            ).reshape((1,) * (u.ndim - self.dim) + tuple(sizes))
+            phase = sum(o) % 4
+            if phase == 0:
+                dr, di = ur * K, ui * K
+            elif phase == 1:
+                dr, di = -ui * K, ur * K
+            elif phase == 2:
+                dr, di = -ur * K, -ui * K
+            else:
+                dr, di = ui * K, -ur * K
+            out = jnp.real(
+                jnp.fft.ifftn(jax.lax.complex(dr, di), axes=axes)
+            )
+            if self.FC is not None:
+                out = self.FC.restrict(out, dim=self.dim)
+            outs.append(out)
+        return outs
+
+    def derivative(self, u, order):
+        """Derivative for an order tuple, e.g. ``(1, 0)`` = d/dx in 2-D
+        (reference differentiation.py:1028-1057)."""
+        order = tuple(order)
+        if len(order) != self.dim:
+            raise ValueError(
+                f"For {self.dim}D, order must be a tuple with {self.dim} "
+                "elements"
+            )
+        return self.compute_multiple_derivatives(u, [order])[0]
+
+    def partial(self, u, direction: str = "x", order: int = 1):
+        """Partial derivative along a named direction
+        (reference differentiation.py:1059-1088)."""
+        if direction == "x":
+            return self.dx(u, order=order)
+        if direction == "y" and self.dim >= 2:
+            return self.dy(u, order=order)
+        if direction == "z" and self.dim >= 3:
+            return self.dz(u, order=order)
+        raise ValueError(
+            f"Invalid direction '{direction}' for dimension {self.dim}"
+        )
+
+    def _unit(self, axis: int, order: int):
+        o = [0] * self.dim
+        o[axis] = order
+        return tuple(o)
 
     def dx(self, u, order: int = 1):
-        return self._d_axis(u, order, -self.dim, self.L[0])
+        return self.derivative(u, self._unit(0, order))
 
     def dy(self, u, order: int = 1):
         if self.dim < 2:
-            raise ValueError("dy requires dim >= 2")
-        return self._d_axis(u, order, -self.dim + 1, self.L[1])
+            raise ValueError("dy method only available for 2D and 3D")
+        return self.derivative(u, self._unit(1, order))
 
     def dz(self, u, order: int = 1):
         if self.dim < 3:
-            raise ValueError("dz requires dim >= 3")
-        return self._d_axis(u, order, -1, self.L[2])
+            raise ValueError("dz method only available for 3D")
+        return self.derivative(u, self._unit(2, order))
 
     def laplacian(self, u):
-        out = self.dx(u, 2)
-        if self.dim >= 2:
-            out = out + self.dy(u, 2)
-        if self.dim >= 3:
-            out = out + self.dz(u, 2)
+        """∇²u, all second derivatives sharing one FFT."""
+        specs = [self._unit(j, 2) for j in range(self.dim)]
+        parts = self.compute_multiple_derivatives(u, specs)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out + p
         return out
+
+    def gradient(self, u):
+        """∇u as a vector field stacked on axis ``-dim-1``
+        (reference differentiation.py:1131-1138)."""
+        specs = [self._unit(j, 1) for j in range(self.dim)]
+        parts = self.compute_multiple_derivatives(u, specs)
+        if self.dim == 1:
+            return parts[0][..., None, :]
+        return jnp.stack(parts, axis=-self.dim - 1)
+
+    def divergence(self, u):
+        """∇·u for a vector field with components on axis ``-dim-1``
+        (reference differentiation.py:1140-1153)."""
+        u = jnp.asarray(u)
+        if u.shape[-self.dim - 1] != self.dim:
+            raise ValueError(
+                f"For {self.dim}D, input must have {self.dim} components "
+                "in the vector dimension"
+            )
+        comps = [_take(u, -self.dim - 1, j) for j in range(self.dim)]
+        out = self.dx(comps[0])
+        if self.dim >= 2:
+            out = out + self.dy(comps[1])
+        if self.dim >= 3:
+            out = out + self.dz(comps[2])
+        return out
+
+    def curl(self, u):
+        """∇×u (2-D scalar / 3-D vector; reference :1155-1175)."""
+        u = jnp.asarray(u)
+        if self.dim == 1:
+            raise ValueError("curl not defined for 1D")
+        if u.shape[-self.dim - 1] != self.dim:
+            raise ValueError(
+                f"For {self.dim}D, input must have {self.dim} components "
+                "in the vector dimension"
+            )
+        comps = [_take(u, -self.dim - 1, j) for j in range(self.dim)]
+        if self.dim == 2:
+            return self.dx(comps[1]) - self.dy(comps[0])
+        cx = self.dy(comps[2]) - self.dz(comps[1])
+        cy = self.dz(comps[0]) - self.dx(comps[2])
+        cz = self.dx(comps[1]) - self.dy(comps[0])
+        return jnp.stack([cx, cy, cz], axis=-4)
 
 
 def get_non_uniform_fd_weights(

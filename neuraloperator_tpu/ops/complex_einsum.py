@@ -34,14 +34,23 @@ def _pair_output_subscript(
     return "".join(combined)
 
 
-def _pairwise_complex(eq: str, a, b):
-    """(ar, ai), (br, bi) -> (cr, ci) via four real einsums."""
+def _pairwise_complex(eq: str, a, b, compute_dtype=None):
+    """(ar, ai), (br, bi) -> (cr, ci) via four real einsums.
+
+    With ``compute_dtype=bfloat16`` the operands are cast down for the
+    matmuls (MXU-native rate) while accumulation stays f32 via
+    ``preferred_element_type``.
+    """
     ar, ai = a
     br, bi = b
-    rr = jnp.einsum(eq, ar, br)
-    ii = jnp.einsum(eq, ai, bi)
-    ri = jnp.einsum(eq, ar, bi)
-    ir = jnp.einsum(eq, ai, br)
+    if compute_dtype is not None:
+        ar, ai = ar.astype(compute_dtype), ai.astype(compute_dtype)
+        br, bi = br.astype(compute_dtype), bi.astype(compute_dtype)
+    kw = dict(preferred_element_type=jnp.float32)
+    rr = jnp.einsum(eq, ar, br, **kw)
+    ii = jnp.einsum(eq, ai, bi, **kw)
+    ri = jnp.einsum(eq, ar, bi, **kw)
+    ir = jnp.einsum(eq, ai, br, **kw)
     return rr - ii, ri + ir
 
 
@@ -58,13 +67,17 @@ def split_complex(x) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return x, jnp.zeros_like(x)
 
 
-def complex_einsum(eq: str, *ops, return_parts: bool = False):
+def complex_einsum(
+    eq: str, *ops, return_parts: bool = False, compute_dtype=None
+):
     """Evaluate a complex einsum without complex dot_general.
 
     Operands may be complex arrays, real arrays, or ``(re, im)`` tuples of
     real arrays; with ``return_parts=True`` the result is an ``(re, im)``
     tuple (keeping the whole pipeline complex-dtype-free). The contraction
     order comes from ``np.einsum_path`` on the static shapes.
+    ``compute_dtype`` selects the matmul operand precision (accumulation
+    stays f32); intermediates and outputs are f32.
     """
     inputs, output = eq.replace(" ", "").split("->")
     subs: List[str] = inputs.split(",")
@@ -112,7 +125,8 @@ def complex_einsum(eq: str, *ops, return_parts: bool = False):
                 cur_sub, nxt_sub, list(work_subs) + pending, output
             )
             cur_op = _pairwise_complex(
-                f"{cur_sub},{nxt_sub}->{out_sub}", cur_op, nxt_op
+                f"{cur_sub},{nxt_sub}->{out_sub}", cur_op, nxt_op,
+                compute_dtype=compute_dtype,
             )
             cur_sub = out_sub
         work_subs.append(cur_sub)

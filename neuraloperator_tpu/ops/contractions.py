@@ -8,7 +8,8 @@ mixing. Every variant is expressed as a single ``jnp.einsum`` so XLA lowers
 it onto the MXU as batched (complex -> 4x real) matmuls.
 """
 
-from typing import Dict
+import os
+from typing import Dict, Optional
 
 import jax.numpy as jnp
 
@@ -17,13 +18,49 @@ from .complex_einsum import complex_einsum
 
 _SYMS = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
 
+# Dense-contraction backend: "xla" (packed einsum), "pallas" (fused
+# Karatsuba mode-tiled kernel, TPU only), or "auto" (XLA everywhere;
+# measured on the v5e: XLA's fused packed einsum beats the Pallas kernel
+# on the NS-128 bench config — see BASELINE.md A/B table).
+_CONTRACTION_BACKEND = os.environ.get(
+    "NEURALOP_TPU_CONTRACTION_BACKEND", "auto"
+)
 
-def contract_dense(x, weight, separable: bool = False, return_parts: bool = False):
+
+def set_contraction_backend(name: str) -> None:
+    """Select the dense mode-contraction backend ('xla'|'pallas'|'auto')."""
+    global _CONTRACTION_BACKEND
+    if name not in ("xla", "pallas", "auto"):
+        raise ValueError(f"unknown contraction backend {name!r}")
+    _CONTRACTION_BACKEND = name
+
+
+def get_contraction_backend() -> str:
+    return _CONTRACTION_BACKEND
+
+
+def _resolve_backend() -> str:
+    if _CONTRACTION_BACKEND != "auto":
+        return _CONTRACTION_BACKEND
+    return "xla"
+
+
+def contract_dense(
+    x,
+    weight,
+    separable: bool = False,
+    return_parts: bool = False,
+    compute_dtype=None,
+):
     """x: (b, i, m...), weight: (i, o, m...) -> (b, o, m...).
 
     ``x`` may be a complex array or an (re, im) tuple of real arrays;
     likewise the output with ``return_parts``. Separable: weight (i, m...)
     multiplies x elementwise (reference ``_contract_dense_separable``).
+
+    ``compute_dtype=jnp.bfloat16`` runs the matmuls MXU-native in bf16 with
+    f32 accumulation (``preferred_element_type``): half the HBM operand
+    traffic and 2x MXU rate vs f32, at bf16 mantissa precision.
 
     The non-separable path packs the four real products of the complex
     multiply into ONE einsum by stacking (re, im) on the batch dim of x and
@@ -40,12 +77,25 @@ def contract_dense(x, weight, separable: bool = False, return_parts: bool = Fals
         wr, wi = split_complex(weight)
         wr, wi = wr[None], wi[None]
         out = (xr * wr - xi * wi, xr * wi + xi * wr)
+        out = (out[0].astype(jnp.float32), out[1].astype(jnp.float32))
         if return_parts:
             return out
         return jax.lax.complex(*out)
 
     xr, xi = split_complex(x)
     wr, wi = split_complex(weight)
+    if compute_dtype is not None:
+        xr, xi = xr.astype(compute_dtype), xi.astype(compute_dtype)
+        wr, wi = wr.astype(compute_dtype), wi.astype(compute_dtype)
+
+    if _resolve_backend() == "pallas":
+        from .pallas.spectral_contraction import contract_dense_pallas
+
+        out = contract_dense_pallas((xr, xi), (wr, wi))
+        if return_parts:
+            return out
+        return jax.lax.complex(*out)
+
     order = xr.ndim
     x_syms = _SYMS[:order]  # b, i, modes...
     out_sym = _SYMS[order]
@@ -56,7 +106,12 @@ def contract_dense(x, weight, separable: bool = False, return_parts: bool = Fals
     o = wr.shape[1]
     x2 = jnp.concatenate([xr, xi], axis=0)          # (2b, i, m...)
     w2 = jnp.concatenate([wr, wi], axis=1)          # (i, 2o, m...)
-    prod = jnp.einsum(f"{x_syms},{weight_syms}->{out_syms}", x2, w2)
+    prod = jnp.einsum(
+        f"{x_syms},{weight_syms}->{out_syms}",
+        x2,
+        w2,
+        preferred_element_type=jnp.float32,
+    )
     rr = prod[:b, :o]    # xr . wr
     ri = prod[:b, o:]    # xr . wi
     ir = prod[b:, :o]    # xi . wr
@@ -69,7 +124,7 @@ def contract_dense(x, weight, separable: bool = False, return_parts: bool = Fals
 
 def contract_cp(
     x, params: Params, spec: FactorizationSpec, separable: bool = False,
-    return_parts: bool = False,
+    return_parts: bool = False, compute_dtype=None,
 ):
     """CP contraction: rank-summed product of per-dim factors.
 
@@ -91,13 +146,14 @@ def contract_cp(
     factor_syms += [s + rank_sym for s in x_syms[2:]]
     eq = f"{x_syms},{rank_sym},{','.join(factor_syms)}->{out_syms}"
     return complex_einsum(
-        eq, x, params["lambdas"], *factors, return_parts=return_parts
+        eq, x, params["lambdas"], *factors, return_parts=return_parts,
+        compute_dtype=compute_dtype,
     )
 
 
 def contract_tucker(
     x, params: Params, spec: FactorizationSpec, separable: bool = False,
-    return_parts: bool = False,
+    return_parts: bool = False, compute_dtype=None,
 ):
     """Tucker contraction: core tensor with per-dim factor matrices.
 
@@ -120,13 +176,14 @@ def contract_tucker(
         factor_syms += [xs + rs for xs, rs in zip(x_syms[2:], core_syms[2:])]
     eq = f"{x_syms},{core_syms},{','.join(factor_syms)}->{out_syms}"
     return complex_einsum(
-        eq, x, params["core"], *factors, return_parts=return_parts
+        eq, x, params["core"], *factors, return_parts=return_parts,
+        compute_dtype=compute_dtype,
     )
 
 
 def contract_tt(
     x, params: Params, spec: FactorizationSpec, separable: bool = False,
-    return_parts: bool = False,
+    return_parts: bool = False, compute_dtype=None,
 ):
     """Tensor-train contraction: chain of 3-way cores.
 
@@ -149,7 +206,9 @@ def contract_tt(
         rank_syms[i] + s + rank_syms[i + 1] for i, s in enumerate(weight_syms)
     ]
     eq = f"{x_syms},{','.join(core_syms)}->{out_syms}"
-    return complex_einsum(eq, x, *factors, return_parts=return_parts)
+    return complex_einsum(
+        eq, x, *factors, return_parts=return_parts, compute_dtype=compute_dtype
+    )
 
 
 def contract_block(
@@ -159,9 +218,14 @@ def contract_block(
     separable: bool = False,
     implementation: str = "reconstructed",
     return_parts: bool = False,
+    compute_dtype=None,
 ):
     """Dispatch the mode contraction (reference ``get_contract_fun``)."""
-    kw = dict(separable=separable, return_parts=return_parts)
+    kw = dict(
+        separable=separable,
+        return_parts=return_parts,
+        compute_dtype=compute_dtype,
+    )
     if implementation == "reconstructed" or spec.kind == "dense":
         weight = to_tensor(spec, params)
         return contract_dense(x, weight, **kw)

@@ -108,3 +108,148 @@ def test_mse_loss():
     z = jnp.zeros_like(x)
     assert np.isclose(float(MSELoss(reduction="mean")(x, z)), 1.0)
     assert np.isclose(float(MSELoss(reduction="sum")(x, z)), 2.0)
+
+
+class TestFourierDiffAPI:
+    """Full reference-API coverage: compute_multiple_derivatives, derivative,
+    partial, gradient, divergence, curl — closed-form fields in 1/2/3-D,
+    periodic and FC-extended (reference differentiation.py:1002-1166)."""
+
+    def test_compute_multiple_derivatives_1d(self):
+        n = 64
+        xs = np.linspace(0, 2 * np.pi, n, endpoint=False)
+        u = jnp.asarray(np.sin(2 * xs))[None]
+        fd = FourierDiff(dim=1)
+        d1, d2, d3 = fd.compute_multiple_derivatives(u, [1, 2, 3])
+        assert np.abs(np.asarray(d1)[0] - 2 * np.cos(2 * xs)).max() < 1e-4
+        assert np.abs(np.asarray(d2)[0] + 4 * np.sin(2 * xs)).max() < 1e-4
+        assert np.abs(np.asarray(d3)[0] + 8 * np.cos(2 * xs)).max() < 1e-3
+
+    def test_derivative_and_partial_2d(self):
+        n = 48
+        xs = np.linspace(0, 2 * np.pi, n, endpoint=False)
+        X, Y = np.meshgrid(xs, xs, indexing="ij")
+        u = jnp.asarray(np.sin(X) * np.cos(2 * Y))[None]
+        fd = FourierDiff(dim=2)
+        dux = np.asarray(fd.derivative(u, (1, 0)))[0]
+        assert np.abs(dux - np.cos(X) * np.cos(2 * Y)).max() < 1e-4
+        dxy = np.asarray(fd.derivative(u, (1, 1)))[0]
+        assert np.abs(dxy + 2 * np.cos(X) * np.sin(2 * Y)).max() < 1e-3
+        assert np.allclose(
+            np.asarray(fd.partial(u, "y", 1)), np.asarray(fd.dy(u)), atol=1e-6
+        )
+
+    def test_gradient_shapes_and_values(self):
+        n = 32
+        xs = np.linspace(0, 2 * np.pi, n, endpoint=False)
+        u1 = jnp.asarray(np.sin(xs))[None]
+        g1 = FourierDiff(dim=1).gradient(u1)
+        assert g1.shape == (1, 1, n)
+        assert np.abs(np.asarray(g1)[0, 0] - np.cos(xs)).max() < 1e-4
+
+        X, Y = np.meshgrid(xs, xs, indexing="ij")
+        u2 = jnp.asarray(np.sin(X) * np.cos(Y))[None]
+        g2 = FourierDiff(dim=2).gradient(u2)
+        assert g2.shape == (1, 2, n, n)
+        assert np.abs(np.asarray(g2)[0, 0] - np.cos(X) * np.cos(Y)).max() < 1e-4
+        assert np.abs(np.asarray(g2)[0, 1] + np.sin(X) * np.sin(Y)).max() < 1e-4
+
+    def test_divergence_curl_2d(self):
+        n = 32
+        xs = np.linspace(0, 2 * np.pi, n, endpoint=False)
+        X, Y = np.meshgrid(xs, xs, indexing="ij")
+        vx, vy = np.sin(X) * np.cos(Y), np.cos(X) * np.sin(Y)
+        v = jnp.asarray(np.stack([vx, vy]))[None]  # (1, 2, n, n)
+        fd = FourierDiff(dim=2)
+        div = np.asarray(fd.divergence(v))[0]
+        assert np.abs(div - 2 * np.cos(X) * np.cos(Y)).max() < 1e-4
+        curl = np.asarray(fd.curl(v))[0]
+        # curl = dx(vy) - dy(vx) = -sin X sin Y + sin X sin Y = 0
+        assert np.abs(curl).max() < 1e-4
+
+    def test_divergence_curl_3d(self):
+        n = 16
+        xs = np.linspace(0, 2 * np.pi, n, endpoint=False)
+        X, Y, Z = np.meshgrid(xs, xs, xs, indexing="ij")
+        vx = np.sin(X) * np.cos(Y) * np.sin(Z)
+        vy = np.cos(X) * np.sin(Y) * np.cos(Z)
+        vz = np.sin(X) * np.sin(Y) * np.cos(Z)
+        v = jnp.asarray(np.stack([vx, vy, vz]))[None]
+        fd = FourierDiff(dim=3)
+        div = np.asarray(fd.divergence(v))[0]
+        expected = (
+            np.cos(X) * np.cos(Y) * np.sin(Z)
+            + np.cos(X) * np.cos(Y) * np.cos(Z)
+            - np.sin(X) * np.sin(Y) * np.sin(Z)
+        )
+        assert np.abs(div - expected).max() < 1e-3
+        curl = np.asarray(fd.curl(v))[0]
+        assert curl.shape == (3, n, n, n)
+        cx = (
+            np.sin(X) * np.cos(Y) * np.cos(Z)
+            + np.cos(X) * np.sin(Y) * np.sin(Z)
+        )
+        assert np.abs(curl[0] - cx).max() < 1e-3
+
+    def test_laplacian_3d(self):
+        n = 16
+        xs = np.linspace(0, 2 * np.pi, n, endpoint=False)
+        X, Y, Z = np.meshgrid(xs, xs, xs, indexing="ij")
+        u = jnp.asarray(np.sin(X) * np.cos(Y) * np.sin(Z))[None]
+        lap = np.asarray(FourierDiff(dim=3).laplacian(u))[0]
+        assert np.abs(lap + 3 * np.asarray(u)[0]).max() < 1e-3
+
+    def test_fc_extended_non_periodic(self):
+        # non-periodic polynomial on [0, 1]: FC route recovers derivative
+        n = 100
+        xs = np.linspace(0, 1, n)
+        u = jnp.asarray(xs ** 2)[None]
+        fd = FourierDiff(
+            dim=1, L=1.0, use_fc="Legendre", fc_degree=4,
+            fc_n_additional_pts=50,
+        )
+        du = np.asarray(fd.dx(u))[0]
+        interior = slice(5, -5)
+        assert np.abs(du - 2 * xs).max() < 0.4
+        assert np.abs((du - 2 * xs)[interior]).max() < 5e-2
+
+    def test_fc_gram_route(self):
+        n = 80
+        xs = np.linspace(0, 1, n)
+        u = jnp.asarray(np.exp(xs))[None]
+        fd = FourierDiff(dim=1, L=1.0, use_fc="gram", fc_degree=4,
+                         fc_n_additional_pts=30)
+        du = np.asarray(fd.dx(u))[0]
+        assert np.abs((du - np.exp(xs))[5:-5]).max() < 5e-2
+
+    def test_low_pass_filter(self):
+        n = 64
+        xs = np.linspace(0, 2 * np.pi, n, endpoint=False)
+        clean = np.sin(2 * xs)
+        noisy = clean + 0.01 * np.sin(30 * xs)
+        fd = FourierDiff(dim=1, low_pass_filter_ratio=0.3)
+        du = np.asarray(fd.dx(jnp.asarray(noisy)[None]))[0]
+        # the 30-mode noise would add 0.3-amplitude ripple; filtered out
+        assert np.abs(du - 2 * np.cos(2 * xs)).max() < 1e-2
+
+    def test_invalid_args(self):
+        import pytest
+
+        with pytest.raises(ValueError):
+            FourierDiff(dim=4)
+        with pytest.raises(ValueError):
+            FourierDiff(dim=2, L=(1.0,))
+        with pytest.raises(ValueError):
+            FourierDiff(dim=2, use_fc="chebyshev")
+        fd = FourierDiff(dim=1)
+        with pytest.raises(ValueError):
+            fd.dy(jnp.ones((4,)))
+        with pytest.raises(ValueError):
+            fd.derivative(jnp.ones((4,)), (1, 0))
+        with pytest.raises(ValueError):
+            fd.curl(jnp.ones((1, 4)))
+        fd2 = FourierDiff(dim=2)
+        with pytest.raises(ValueError):
+            fd2.divergence(jnp.ones((1, 3, 8, 8)))
+        with pytest.raises(ValueError):
+            fd2.partial(jnp.ones((1, 8, 8)), "z")
