@@ -56,22 +56,25 @@ def analytic_step_flops() -> float:
     return 3.0 * fwd
 
 
-def measure_matmul_ceiling(dtype=jnp.bfloat16, n=2048, iters=8) -> float:
-    """Observed matmul TFLOPS ceiling on this chip (time-shared -> noisy)."""
+def measure_matmul_ceiling(dtype=jnp.bfloat16, n=2048, iters=64) -> float:
+    """Observed matmul TFLOPS ceiling on this chip (time-shared -> noisy).
+
+    All iterations run inside ONE jitted fori_loop: per-call dispatch over
+    the axon relay costs ~10s of ms, which would swamp per-op timings.
+    """
     a = jnp.asarray(np.random.RandomState(0).randn(n, n), dtype)
     b = jnp.asarray(np.random.RandomState(1).randn(n, n), dtype)
 
     @jax.jit
-    def f(a, b):
-        return a @ b
+    def chain(a, b):
+        def body(_, x):
+            return ((x @ b) * jnp.asarray(1e-3, dtype)).astype(dtype)
 
-    c = f(a, b)
-    float(jnp.sum(c.astype(jnp.float32)))  # compile + completion barrier
+        return jax.lax.fori_loop(0, iters, body, a)
+
+    float(jnp.sum(chain(a, b).astype(jnp.float32)))  # compile + barrier
     t0 = time.perf_counter()
-    cur = a
-    for _ in range(iters):
-        cur = f(cur, b) * jnp.asarray(1e-3, dtype)
-    float(jnp.sum(cur.astype(jnp.float32)))
+    float(jnp.sum(chain(a, b).astype(jnp.float32)))
     dt = time.perf_counter() - t0
     return 2 * n**3 * iters / dt / 1e12
 
@@ -91,21 +94,22 @@ def bench_spectral_conv(precision: str, n_iters: int = 30) -> float:
     x = jnp.asarray(rng.randn(BATCH, HIDDEN, RES, RES), jnp.float32)
     params = jax.jit(conv.init)(jax.random.PRNGKey(0), x)
 
+    def loss(p, xx):
+        return jnp.sum(conv.apply(p, xx) ** 2)
+
     @jax.jit
-    def fwd_bwd(params, x):
-        def loss(p, xx):
-            return jnp.sum(conv.apply(p, xx) ** 2)
+    def chain(params, x):
+        # n_iters of fwd+bwd inside one program: isolates device latency
+        # from the relay's per-dispatch overhead
+        def body(_, cur):
+            gx = jax.grad(loss, argnums=1)(params, cur)
+            return 0.5 * cur + 1e-3 * gx
 
-        val, gx = jax.value_and_grad(loss, argnums=1)(params, x)
-        return gx
+        return jax.lax.fori_loop(0, n_iters, body, x)
 
-    gx = fwd_bwd(params, x)
-    float(gx[0, 0, 0, 0])  # compile + completion barrier
+    float(chain(params, x)[0, 0, 0, 0])  # compile + completion barrier
     t0 = time.perf_counter()
-    cur = x
-    for _ in range(n_iters):
-        cur = 0.5 * cur + 1e-3 * fwd_bwd(params, cur)
-    float(cur[0, 0, 0, 0])
+    float(chain(params, x)[0, 0, 0, 0])
     dt = time.perf_counter() - t0
     return dt / n_iters * 1e3
 
@@ -165,8 +169,7 @@ def main():
     def to_half(a):
         return a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a
 
-    @jax.jit
-    def step(params, opt_state, xx, yy):
+    def train_step(params, opt_state, xx, yy):
         def loss_fn(p):
             p = jax.tree_util.tree_map(to_half, p)
             out = model.apply({"params": p}, to_half(xx))
@@ -175,6 +178,8 @@ def main():
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
+
+    step = jax.jit(train_step)
 
     # warmup (compile); transfer the loss to force full completion — on the
     # relayed TPU runtime block_until_ready alone does not wait for compute
@@ -197,12 +202,35 @@ def main():
     }
 
     if not args.skip_aux:
+        # device-only steps/s: the same step iterated inside ONE program —
+        # isolates compute from the relay's per-dispatch overhead, which
+        # bounds the python-loop number at ~35-40 dispatches/s
+        k_inner = 30
+
+        @jax.jit
+        def steps_chain(params, opt_state, xx, yy):
+            def body(_, carry):
+                p, s, _ = carry
+                return train_step(p, s, xx, yy)
+
+            return jax.lax.fori_loop(
+                0, k_inner, body, (params, opt_state, jnp.float32(0))
+            )
+
+        params, opt_state, loss = steps_chain(params, opt_state, x, y)
+        float(loss)  # compile + barrier
+        t0 = time.perf_counter()
+        params, opt_state, loss = steps_chain(params, opt_state, x, y)
+        float(loss)
+        device_steps_per_sec = k_inner / (time.perf_counter() - t0)
+
         conv_ms = bench_spectral_conv(args.block_precision)
         ceiling = measure_matmul_ceiling()
         flops = analytic_step_flops()
-        achieved = flops * steps_per_sec / 1e12
+        achieved = flops * device_steps_per_sec / 1e12
         result.update(
             {
+                "device_steps_per_sec": round(device_steps_per_sec, 3),
                 "spectral_conv_fwdbwd_ms_64modes": round(conv_ms, 3),
                 "step_gflops_analytic": round(flops / 1e9, 1),
                 "achieved_tflops": round(achieved, 3),

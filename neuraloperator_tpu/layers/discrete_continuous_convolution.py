@@ -264,48 +264,133 @@ class DiscreteContinuousConv2d(nn.Module):
         return y
 
 
+def _basis_funcs(r, phi, kernel_shape: Tuple[int, ...], basis_type: str):
+    """Evaluate all basis functions at normalized radius/angle arrays."""
+    if basis_type == "morlet":
+        nr, nphi = (
+            kernel_shape if len(kernel_shape) == 2 else (kernel_shape[0], 1)
+        )
+        return [
+            _morlet(r, phi, k_r, k_phi)
+            for k_r in range(nr)
+            for k_phi in range(nphi)
+        ]
+    if basis_type == "zernike":
+        n_max = kernel_shape[0]
+        return [
+            _zernike(np.clip(r, 0, 1), phi, n, m)
+            for n in range(n_max + 1)
+            for m in range(-n, n + 1, 2)
+        ]
+    if len(kernel_shape) == 1:
+        nr = kernel_shape[0]
+        radii = np.linspace(0, 1, nr)
+        width = 1.0 / max(nr - 1, 1)
+        return [_hat(r, c, width) for c in radii]
+    nr, nphi = kernel_shape
+    radii = np.linspace(0, 1, nr)
+    rwidth = 1.0 / max(nr - 1, 1)
+    pwidth = 2 * np.pi / nphi
+    funcs = [_hat(r, 0.0, rwidth)]  # center
+    for i in range(1, nr):
+        for j in range(nphi):
+            c_phi = 2 * np.pi * j / nphi - np.pi
+            funcs.append(
+                _hat(r, radii[i], rwidth) * _periodic_hat(phi, c_phi, pwidth)
+            )
+    return funcs
+
+
 def precompute_filter_matrix(
     in_coords: np.ndarray,
     out_coords: np.ndarray,
     kernel_shape: Sequence[int],
     radius_cutoff: float,
     quadrature_weights: Optional[np.ndarray] = None,
+    basis_type: str = "piecewise_linear",
+    periodic: bool = False,
+    transpose: bool = False,
+    normalize: bool = True,
 ) -> np.ndarray:
     """Host precompute of psi (K, n_out, n_in) for unstructured DISCO.
 
-    Mirrors reference ``_precompute_convolution_filter_matrix``
-    (discrete_continuous_convolution.py:85+): evaluate each basis function
-    at the offsets between output and input points, apply quadrature
-    weights, normalize each basis function's discrete integral.
+    Mirrors reference ``_precompute_convolution_filter_matrix`` +
+    ``_normalize_convolution_filter_matrix``
+    (discrete_continuous_convolution.py:31-186): evaluate each basis
+    function at the offsets between output and input points, normalize each
+    basis function's quadrature-weighted integral PER OUTPUT POINT, and fold
+    the input quadrature weights in (the reference multiplies x by them at
+    forward time, :452-455).
+
+    ``transpose=True`` builds the transpose-convolution filter (reference
+    ``DiscreteContinuousConvTranspose2d``, :479-681): the basis is evaluated
+    at the reversed offsets ``x_in - y_out`` (scattering input values onto
+    output points) with the reference's ``transpose_normalization``, which
+    reduces to the same per-(k, output-point) normalization in the dense
+    layout.
     """
     n_in = len(in_coords)
-    n_out = len(out_coords)
     if quadrature_weights is None:
         quadrature_weights = np.full(n_in, 1.0 / n_in)
     diff = out_coords[:, None, :] - in_coords[None, :, :]
+    if transpose:
+        diff = -diff
+    if periodic:
+        # wrap to the nearest image on the unit torus (reference :158-160)
+        alt = np.where(diff > 0.0, diff - 1.0, diff + 1.0)
+        diff = np.where(np.abs(diff) < np.abs(alt), diff, alt)
     r = np.linalg.norm(diff, axis=-1) / radius_cutoff
     phi = np.arctan2(diff[..., 1], diff[..., 0])
 
-    if len(kernel_shape) == 1:
-        nr = kernel_shape[0]
-        radii = np.linspace(0, 1, nr)
-        width = 1.0 / max(nr - 1, 1)
-        funcs = [_hat(r, c, width) for c in radii]
-    else:
-        nr, nphi = kernel_shape
-        radii = np.linspace(0, 1, nr)
-        rwidth = 1.0 / max(nr - 1, 1)
-        pwidth = 2 * np.pi / nphi
-        funcs = [_hat(r, 0.0, rwidth)]
-        for i in range(1, nr):
-            for j in range(nphi):
-                c_phi = 2 * np.pi * j / nphi - np.pi
-                funcs.append(
-                    _hat(r, radii[i], rwidth) * _periodic_hat(phi, c_phi, pwidth)
-                )
-    psi = np.stack(funcs)  # (K, n_out, n_in)
+    psi = np.stack(
+        _basis_funcs(r, phi, tuple(kernel_shape), basis_type)
+    )  # (K, n_out, n_in)
     psi = np.where(r[None] <= 1.0, psi, 0.0)
     psi = psi * quadrature_weights[None, None, :]
-    norms = psi.sum(axis=(1, 2), keepdims=True) / n_out
-    psi = psi / np.maximum(norms, 1e-12)
+    if normalize:
+        # per-(basis, output-point) discrete-integral normalization
+        norms = np.abs(psi).sum(axis=2, keepdims=True)
+        psi = psi / np.maximum(norms, 1e-9)
     return psi.astype(np.float32)
+
+
+class DiscreteContinuousConvTranspose2d(nn.Module):
+    """Transpose DISCO conv between arbitrary point sets.
+
+    Counterpart of reference ``DiscreteContinuousConvTranspose2d``
+    (``/root/reference/neuralop/layers/discrete_continuous_convolution.py:479-681``):
+    scatters input-point values onto output points through the transposed
+    filter matrix. ``psi`` — (K, n_out, n_in), host-precomputed with
+    :func:`precompute_filter_matrix(..., transpose=True)` — is passed at
+    call time; the forward is one psi matmul + one grouped channel einsum,
+    both MXU work (the reference uses a sparse mm; dense static shapes are
+    the TPU-native layout).
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_shape: Tuple[int, ...] = (2,)
+    groups: int = 1
+    use_bias: bool = True
+    basis_type: str = "piecewise_linear"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, psi: jnp.ndarray) -> jnp.ndarray:
+        """x: (batch, in_channels, n_in); psi: (K, n_out, n_in)."""
+        K = num_basis_functions(tuple(self.kernel_shape), self.basis_type)
+        scale = math.sqrt(2.0 / (self.in_channels * K))
+        w = self.param(
+            "weight",
+            lambda key: scale
+            * nn.initializers.normal(1.0)(
+                key, (self.out_channels, self.in_channels // self.groups, K)
+            ),
+        )
+        # scatter input values through the transposed filter: (b, c, K, n_out)
+        z = jnp.einsum("bcn,kmn->bckm", x, psi)
+        # grouped channel mixing (reference einsum 'bgckx,gock->bgox', :665)
+        y = jnp.einsum("bikm,oik->bom", z, w)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+            y = y + b[None, :, None]
+        return y

@@ -19,9 +19,10 @@ from .complex_einsum import complex_einsum
 _SYMS = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
 
 # Dense-contraction backend: "xla" (packed einsum), "pallas" (fused
-# Karatsuba mode-tiled kernel, TPU only), or "auto" (XLA everywhere;
-# measured on the v5e: XLA's fused packed einsum beats the Pallas kernel
-# on the NS-128 bench config — see BASELINE.md A/B table).
+# Karatsuba mode-tiled kernel, TPU only), or "auto": Pallas on TPU when the
+# channel extents use the MXU lanes well, XLA otherwise. Measured on the
+# v5e NS-128 bench: pallas+mixed 35.8 steps/s vs xla+mixed 30.3 vs
+# xla+f32 27.6 — see BASELINE.md A/B table.
 _CONTRACTION_BACKEND = os.environ.get(
     "NEURALOP_TPU_CONTRACTION_BACKEND", "auto"
 )
@@ -39,9 +40,27 @@ def get_contraction_backend() -> str:
     return _CONTRACTION_BACKEND
 
 
-def _resolve_backend() -> str:
+def _resolve_backend(x_shape=None, w_shape=None) -> str:
+    """Resolve 'auto' per call site (trace-time; shapes are static).
+
+    Pallas wins on TPU when the per-mode matmul uses the 128-wide MXU
+    lanes (channels >= 32) and there are enough modes to tile; for small
+    channel counts the (8, 128) register-tile padding wastes the VMEM
+    streams and XLA's packed einsum is faster.
+    """
     if _CONTRACTION_BACKEND != "auto":
         return _CONTRACTION_BACKEND
+    import jax
+
+    if jax.default_backend() != "tpu" or x_shape is None:
+        return "xla"
+    b, i = x_shape[0], x_shape[1]
+    o = w_shape[1]
+    n_modes = 1
+    for s in x_shape[2:]:
+        n_modes *= s
+    if min(i, o) >= 32 and n_modes >= 256:
+        return "pallas"
     return "xla"
 
 
@@ -88,7 +107,7 @@ def contract_dense(
         xr, xi = xr.astype(compute_dtype), xi.astype(compute_dtype)
         wr, wi = wr.astype(compute_dtype), wi.astype(compute_dtype)
 
-    if _resolve_backend() == "pallas":
+    if _resolve_backend(xr.shape, wr.shape) == "pallas":
         from .pallas.spectral_contraction import contract_dense_pallas
 
         out = contract_dense_pallas((xr, xi), (wr, wi))

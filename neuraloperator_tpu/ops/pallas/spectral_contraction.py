@@ -48,8 +48,11 @@ def _kernel(ar_ref, ai_ref, br_ref, bi_ref, or_ref, oi_ref, *, dn,
         bi = -bi
 
     def bdot(a, b):
+        # explicit precision: the Pallas TPU lowering rejects the global
+        # HIGH/tensorfloat32 default-matmul-precision setting
         return jax.lax.dot_general(
-            a, b, dimension_numbers=dn, preferred_element_type=jnp.float32
+            a, b, dimension_numbers=dn, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )
 
     t1 = bdot(ar, br)
@@ -66,11 +69,32 @@ _BWD_X = (((2,), (2,)), ((0,), (0,)))   # g (T,B,O) · w (T,I,O) -> (T,B,I)
 _BWD_W = (((1,), (1,)), ((0,), (0,)))   # x (T,B,I) · g (T,B,O) -> (T,I,O)
 
 
+def _auto_tile(a_shape, b_shape, a_bytes, b_bytes, R1, R2,
+               budget=10 * 2**20) -> int:
+    """Largest mode-tile that fits the VMEM budget.
+
+    Accounts for double-buffered inputs/outputs plus the Karatsuba
+    temporaries (ar+ai, br+bi, t1..t3) that live on the kernel stack, at
+    the TPU's physical (8, 128) register-tile padding of the two minor
+    dims (a 64-lane dim occupies 128 lanes of VMEM).
+    """
+    def padded(d1, d2, nbytes):
+        return -(-d1 // 8) * 8 * -(-d2 // 128) * 128 * nbytes
+
+    s_a = padded(a_shape[0], a_shape[1], a_bytes)
+    s_b = padded(b_shape[0], b_shape[1], b_bytes)
+    s_o = padded(R1, R2, 4)
+    per_mode = 2 * (2 * s_a + 2 * s_b + 2 * s_o) + s_a + s_b + 3 * s_o
+    tile = budget // max(per_mode, 1)
+    tile = min(256, max(8, (tile // 8) * 8))
+    return int(tile)
+
+
 @functools.partial(
     jax.jit, static_argnames=("dn", "conj_a", "conj_b", "tile_m")
 )
 def _mode_contraction(
-    ar, ai, br, bi, *, dn, conj_a=False, conj_b=False, tile_m: int = 128
+    ar, ai, br, bi, *, dn, conj_a=False, conj_b=False, tile_m=None
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Tiled complex contraction over flattened modes (leading axis)."""
     M = ar.shape[0]
@@ -78,6 +102,11 @@ def _mode_contraction(
     out_a = 2 if ca == 1 else 1
     out_b = 2 if cb == 1 else 1
     R1, R2 = ar.shape[out_a], br.shape[out_b]
+    if tile_m is None:
+        tile_m = _auto_tile(
+            ar.shape[1:], br.shape[1:], ar.dtype.itemsize, br.dtype.itemsize,
+            R1, R2,
+        )
     Mp = ((M + tile_m - 1) // tile_m) * tile_m
     if Mp != M:
         pad = [(0, Mp - M), (0, 0), (0, 0)]
@@ -120,24 +149,26 @@ def _mode_contraction(
     return o_r[:M], o_i[:M]
 
 
-@jax.custom_vjp
-def pallas_mode_contraction(xr, xi, wr, wi, tile_m: int = 128):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def pallas_mode_contraction(xr, xi, wr, wi, tile_m=None):
     """x parts: (M, B, I); w parts: (M, I, O) -> f32 out parts (M, B, O).
 
     M (flattened modes) is padded internally to a multiple of ``tile_m``
     (zero modes contribute zero outputs, sliced off). Differentiable via a
     custom VJP whose backward contractions reuse the same kernel.
+    ``tile_m`` (Python int or None = auto-sized to the VMEM budget) is
+    non-differentiable and kept out of tracing.
     """
     return _mode_contraction(xr, xi, wr, wi, dn=_FWD, tile_m=tile_m)
 
 
-def _pallas_fwd(xr, xi, wr, wi, tile_m=128):
+def _pallas_fwd(xr, xi, wr, wi, tile_m=None):
     out = _mode_contraction(xr, xi, wr, wi, dn=_FWD, tile_m=tile_m)
-    return out, (xr, xi, wr, wi, tile_m)
+    return out, (xr, xi, wr, wi)
 
 
-def _pallas_bwd(res, g):
-    xr, xi, wr, wi, tile_m = res
+def _pallas_bwd(tile_m, res, g):
+    xr, xi, wr, wi = res
     gr, gi = g
     gr_x = gr.astype(wr.dtype)
     gi_x = gi.astype(wr.dtype)
@@ -156,7 +187,6 @@ def _pallas_bwd(res, g):
         dxi.astype(xi.dtype),
         dwr.astype(wr.dtype),
         dwi.astype(wi.dtype),
-        None,
     )
 
 

@@ -99,34 +99,91 @@ def replicate(tree, mesh: Optional[Mesh] = None):
     )
 
 
-def spectral_weight_sharding(mesh: Mesh):
-    """Shard spectral weights' out-channel dim over the model axis.
+def _tp_spec_for_leaf(name: str, leaf, siblings, msize) -> P:
+    """Tensor-parallel PartitionSpec for one spectral-weight leaf.
 
-    Weight storage layout is (2, in, out, modes...) — see
-    ``layers/spectral_convolution.py`` — so out-channels is dim 2.
-    This is the tensor-parallel layout: each device owns an out-channel
-    shard, activations all-gather over ICI only at layer boundaries.
+    Factorized complex weights are stored split-real with a leading (2,)
+    axis (``layers/spectral_convolution.py``); the out-channel dim to shard
+    over 'model' depends on the factorization, identified from the sibling
+    parameter names of the same conv module:
+
+    * dense  — ``w_weight`` (2, in, out, modes...): shard dim 2
+    * CP     — ``w_lambdas`` present; ``w_factor_1`` (2, out, rank): dim 1
+    * Tucker — ``w_core`` present; ``w_factor_1`` (2, out, r_out): dim 1
+    * TT     — factors only; ``w_factor_1`` (2, r, out, r): shard dim 2
+
+    Every rule checks divisibility by the model-axis size; anything not
+    matched (biases, separable convs, rank cores) is replicated — XLA
+    inserts the all-gathers at layer boundaries either way.
+    """
+    nd = leaf.ndim
+    spec = [None] * nd
+    if name == "w_weight" and nd >= 4 and leaf.shape[2] % msize == 0:
+        spec[2] = MODEL_AXIS
+    elif name == "w_factor_1":
+        if "w_core" in siblings or "w_lambdas" in siblings:
+            if nd == 3 and leaf.shape[1] % msize == 0:
+                spec[1] = MODEL_AXIS
+        elif nd == 4 and leaf.shape[2] % msize == 0:
+            spec[2] = MODEL_AXIS
+    return P(*spec)
+
+
+def tp_param_specs(params, mesh: Mesh):
+    """NamedSharding pytree for tensor-parallel spectral weights.
+
+    Walks module subtrees so each conv's factorization is identified from
+    its own parameter names (the TPU counterpart of the reference's
+    model-parallel weight partitioning, ``mpu/mappings.py``). Returns a
+    tree with one NamedSharding per parameter leaf.
+    """
+    msize = mesh.shape[MODEL_AXIS]
+    replicated = NamedSharding(mesh, P())
+
+    def walk(node):
+        if isinstance(node, dict):
+            siblings = set(node.keys())
+            return {
+                k: (
+                    NamedSharding(
+                        mesh, _tp_spec_for_leaf(k, v, siblings, msize)
+                    )
+                    if not isinstance(v, dict) and str(k).startswith("w_")
+                    else walk(v)
+                )
+                for k, v in node.items()
+            }
+        return replicated
+
+    return walk(params)
+
+
+def spectral_weight_sharding(mesh: Mesh):
+    """Back-compat wrapper: per-leaf sharding callable (dense rule only).
+
+    Prefer :func:`shard_params`, which applies the factorization-aware
+    :func:`tp_param_specs` rules.
     """
     def shard_leaf(path, leaf):
-        name = "/".join(str(p) for p in path)
-        if "w_" in name and leaf.ndim >= 4:
-            spec = [None] * leaf.ndim
-            spec[2] = MODEL_AXIS
-            return NamedSharding(mesh, P(*spec))
-        return NamedSharding(mesh, P())
+        name = str(path[-1]) if path else ""
+        name = getattr(path[-1], "key", name) if path else name
+        spec = _tp_spec_for_leaf(name, leaf, set(), mesh.shape[MODEL_AXIS])
+        return NamedSharding(mesh, spec)
 
     return shard_leaf
 
 
 def shard_params(params, mesh: Optional[Mesh] = None):
-    """Apply tensor-parallel sharding to an FNO parameter pytree."""
+    """Apply tensor-parallel sharding to a model parameter pytree."""
     mesh = mesh or _CURRENT_MESH
     if mesh is None:
         return params
-    shard_fn = spectral_weight_sharding(mesh)
-    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
-    out = [jax.device_put(leaf, shard_fn(path, leaf)) for path, leaf in flat]
-    return jax.tree_util.tree_unflatten(treedef, out)
+    specs = tp_param_specs(params, mesh)
+    return jax.tree_util.tree_map(
+        lambda leaf, sharding: jax.device_put(leaf, sharding),
+        params,
+        specs,
+    )
 
 
 def make_distributed_batch(batch: dict, mesh: Optional[Mesh] = None) -> dict:

@@ -62,7 +62,7 @@ class IncrementalFNOTrainer(Trainer):
         self._step_cache: Dict = {}
 
     # -- override step builders to close over the current (static) n_modes --
-    def _build_train_step(self, optimizer, training_loss):
+    def _build_train_step(self, optimizer, training_loss, regularizer=None):
         n_modes = self.current_n_modes
         key = ("train", n_modes)
         if key in self._step_cache:
@@ -84,11 +84,22 @@ class IncrementalFNOTrainer(Trainer):
             out = out.astype(jnp.float32)
             if data_processor is not None:
                 out, sample = data_processor.postprocess(out, sample, train=True)
-            return training_loss(out, sample["y"])
+            loss = training_loss(out, sample["y"])
+            if regularizer is not None:
+                reg = (
+                    regularizer.loss(params)
+                    if hasattr(regularizer, "loss")
+                    else regularizer(params)
+                )
+                loss = loss + reg
+            return loss
 
-        def step(params, opt_state, batch):
+        def step(params, opt_state, batch, lr_scale):
             loss, grads = jax.value_and_grad(loss_fn)(params, batch)
             updates, opt_state = optimizer.update(grads, opt_state, params)
+            updates = jax.tree_util.tree_map(
+                lambda u: u * lr_scale.astype(u.dtype), updates
+            )
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, grads
 
@@ -114,17 +125,27 @@ class IncrementalFNOTrainer(Trainer):
 
         all_metrics = {}
         for epoch in range(self.n_epochs):
-            train_step = self._build_train_step(optimizer, training_loss)
+            train_step = self._build_train_step(
+                optimizer, training_loss, regularizer
+            )
             total, n = 0.0, 0
             grads = None
+            lr_scale = jnp.asarray(
+                getattr(scheduler, "factor", 1.0), jnp.float32
+            )
             for batch in train_loader:
                 batch = self._put(batch)
                 self.params, self.opt_state, loss, grads = train_step(
-                    self.params, self.opt_state, batch
+                    self.params, self.opt_state, batch, lr_scale
                 )
                 total += float(loss)
                 n += 1
             avg_loss = total / max(n, 1)
+            if scheduler is not None:
+                if getattr(scheduler, "needs_metric", False):
+                    scheduler.step(avg_loss)
+                else:
+                    scheduler.step()
             all_metrics["train_err"] = avg_loss
             self.incremental_update(avg_loss, grads)
             if epoch % self.eval_interval == 0 or epoch == self.n_epochs - 1:

@@ -45,6 +45,87 @@ def adamw(
     return tx
 
 
+class StepLR:
+    """Per-epoch stepped LR decay honored by ``Trainer.train(scheduler=...)``.
+
+    torch.optim.lr_scheduler.StepLR equivalent for the epoch-scheduler
+    protocol (reference trainer steps its scheduler once per epoch,
+    ``/root/reference/neuralop/training/trainer.py:296-310``): the Trainer
+    calls ``step()`` after every epoch and multiplies optimizer updates by
+    ``factor``, which equals ``gamma ** (epoch // step_size)``.
+
+    Use this when the optimizer was built with a constant base LR; if the
+    schedule is already folded into the optimizer (optax.Schedule), pass
+    ``scheduler=None``.
+    """
+
+    needs_metric = False
+
+    def __init__(self, step_size: int, gamma: float = 0.5):
+        self.step_size = int(step_size)
+        self.gamma = float(gamma)
+        self.epoch = 0
+        self.factor = 1.0
+
+    def step(self, metric=None) -> None:
+        self.epoch += 1
+        self.factor = self.gamma ** (self.epoch // self.step_size)
+
+    def state_dict(self) -> dict:
+        return {"epoch": self.epoch, "factor": self.factor}
+
+    def load_state_dict(self, state: dict) -> None:
+        self.epoch = int(state["epoch"])
+        self.factor = float(state["factor"])
+
+
+class ReduceLROnPlateau:
+    """Epoch-scheduler protocol version of ReduceLROnPlateau.
+
+    The Trainer calls ``step(train_err)`` after each epoch (the reference's
+    ReduceLROnPlateau branch, trainer.py:307-310) and scales updates by
+    ``factor``. For a fully-on-device variant fold
+    :func:`reduce_on_plateau` into the optimizer instead.
+    """
+
+    needs_metric = True
+
+    def __init__(self, factor: float = 0.5, patience: int = 5,
+                 threshold: float = 1e-4, min_lr_factor: float = 0.0):
+        self.reduction = float(factor)
+        self.patience = int(patience)
+        self.threshold = float(threshold)
+        self.min_factor = float(min_lr_factor)
+        self.best = float("inf")
+        self.bad_epochs = 0
+        self.factor = 1.0
+
+    def step(self, metric) -> None:
+        metric = float(metric)
+        if metric < self.best * (1 - self.threshold):
+            self.best = metric
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > self.patience:
+                self.factor = max(
+                    self.factor * self.reduction, self.min_factor
+                )
+                self.bad_epochs = 0
+
+    def state_dict(self) -> dict:
+        return {
+            "best": self.best,
+            "bad_epochs": self.bad_epochs,
+            "factor": self.factor,
+        }
+
+    def load_state_dict(self, state: dict) -> None:
+        self.best = float(state["best"])
+        self.bad_epochs = int(state["bad_epochs"])
+        self.factor = float(state["factor"])
+
+
 def reduce_on_plateau(
     optimizer: optax.GradientTransformation,
     factor: float = 0.5,

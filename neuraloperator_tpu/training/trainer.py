@@ -120,7 +120,7 @@ class Trainer:
             {k: to_half(jnp.asarray(v)) for k, v in kwargs.items()},
         )
 
-    def _build_train_step(self, optimizer, training_loss):
+    def _build_train_step(self, optimizer, training_loss, regularizer=None):
         data_processor = self.data_processor
         model = self.model
         mixed = self.mixed_precision
@@ -140,11 +140,22 @@ class Trainer:
             out = out.astype(jnp.float32)
             if data_processor is not None:
                 out, sample = data_processor.postprocess(out, sample, train=True)
-            return training_loss(out, sample["y"])
+            loss = training_loss(out, sample["y"])
+            if regularizer is not None:
+                # reference accumulates the penalty during forward and adds
+                # it to the batch loss (trainer.py:505-506, :538-539);
+                # functionally that is a params-dependent penalty term
+                reg = (
+                    regularizer.loss(params)
+                    if hasattr(regularizer, "loss")
+                    else regularizer(params)
+                )
+                loss = loss + reg
+            return loss
 
         needs_value = getattr(optimizer, "needs_value", False)
 
-        def step(params, opt_state, batch):
+        def step(params, opt_state, batch, lr_scale):
             loss, grads = jax.value_and_grad(loss_fn)(params, batch)
             if needs_value:
                 updates, opt_state = optimizer.update(
@@ -152,6 +163,13 @@ class Trainer:
                 )
             else:
                 updates, opt_state = optimizer.update(grads, opt_state, params)
+            # epoch-scheduler protocol: the Trainer scales updates by the
+            # scheduler's current factor (equivalent to scaling the LR,
+            # including AdamW's decoupled weight decay — both are
+            # lr-multiplied in torch and in optax.adamw)
+            updates = jax.tree_util.tree_map(
+                lambda u: u * lr_scale.astype(u.dtype), updates
+            )
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
@@ -192,7 +210,7 @@ class Trainer:
         train_loader,
         test_loaders: Dict,
         optimizer,
-        scheduler=None,  # kept for API parity; fold schedules into optimizer
+        scheduler=None,
         regularizer=None,
         training_loss=None,
         eval_losses=None,
@@ -201,6 +219,21 @@ class Trainer:
         save_dir="./ckpt",
         resume_from_dir=None,
     ) -> Dict[str, float]:
+        """Train the model.
+
+        ``scheduler`` follows the reference's per-epoch protocol
+        (trainer.py:296-310): after every epoch the Trainer calls
+        ``scheduler.step()`` — or ``scheduler.step(train_err)`` when the
+        scheduler declares ``needs_metric`` (the ReduceLROnPlateau branch) —
+        and multiplies optimizer updates by ``scheduler.factor``. Use
+        :class:`training.optimizer.StepLR` / ``ReduceLROnPlateau``, or pass
+        ``None`` when the schedule is already folded into the optimizer.
+
+        ``regularizer`` is a params-dependent penalty added to every batch
+        loss: a callable ``regularizer(params) -> scalar`` or an object with
+        ``.loss(params)`` (the reference adds ``regularizer.loss``
+        accumulated during forward, trainer.py:538-539).
+        """
         if training_loss is None:
             training_loss = LpLoss(d=2)
         if eval_losses is None:
@@ -229,7 +262,9 @@ class Trainer:
                 jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec()),
             )
 
-        train_step = self._build_train_step(optimizer, training_loss)
+        train_step = self._build_train_step(
+            optimizer, training_loss, regularizer
+        )
         eval_step = self._build_eval_step(eval_losses)
 
         best_metric = float("inf")
@@ -244,14 +279,22 @@ class Trainer:
                 self.data_processor.step(epoch)
             train_err = 0.0
             n_batches = 0
+            lr_scale = jnp.asarray(
+                getattr(scheduler, "factor", 1.0), jnp.float32
+            )
             for batch in train_loader:
                 batch = self._put(batch)
                 self.params, self.opt_state, loss = train_step(
-                    self.params, self.opt_state, batch
+                    self.params, self.opt_state, batch, lr_scale
                 )
                 train_err += float(loss)
                 n_batches += 1
             train_err /= max(n_batches, 1)
+            if scheduler is not None:
+                if getattr(scheduler, "needs_metric", False):
+                    scheduler.step(train_err)
+                else:
+                    scheduler.step()
             epoch_time = time.perf_counter() - t0
             all_metrics["train_err"] = train_err
             all_metrics["epoch_time"] = epoch_time

@@ -117,3 +117,92 @@ def test_local_no_partial_layers():
     variables = model.init(jax.random.PRNGKey(1), x)
     y = model.apply(variables, x)
     assert y.shape == (1, 1, 12, 12)
+
+
+def test_unstructured_disco_transpose():
+    """DiscreteContinuousConvTranspose2d (reference :479-681): shapes,
+    per-output normalization, and adjoint consistency of the filter."""
+    from neuraloperator_tpu.layers.discrete_continuous_convolution import (
+        DiscreteContinuousConvTranspose2d,
+    )
+
+    rng = np.random.RandomState(1)
+    in_coords = rng.rand(15, 2).astype(np.float32)
+    out_coords = rng.rand(40, 2).astype(np.float32)
+    psi_t = precompute_filter_matrix(
+        in_coords, out_coords, kernel_shape=(2,), radius_cutoff=0.5,
+        transpose=True,
+    )
+    assert psi_t.shape[1:] == (40, 15)
+    conv = DiscreteContinuousConvTranspose2d(
+        in_channels=4, out_channels=3, kernel_shape=(2,)
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 15))
+    variables = conv.init(jax.random.PRNGKey(1), x, jnp.asarray(psi_t))
+    y = conv.apply(variables, x, jnp.asarray(psi_t))
+    assert y.shape == (2, 3, 40)
+    assert np.isfinite(np.asarray(y)).all()
+
+    # per-(basis, output-point) normalization: nonzero rows sum to ~1
+    sums = np.abs(psi_t).sum(axis=2)
+    nz = sums[sums > 1e-6]
+    np.testing.assert_allclose(nz, 1.0, rtol=1e-4)
+
+
+def test_disco_transpose_filter_adjoint_consistency():
+    """With uniform quadrature weights and no normalization the transpose
+    filter (B->A grids) is exactly the adjoint of the forward filter
+    (A->B) for the isotropic basis."""
+    rng = np.random.RandomState(2)
+    A = rng.rand(12, 2).astype(np.float32)
+    B = rng.rand(20, 2).astype(np.float32)
+    q_a = np.full(12, 1.0 / 12, np.float32)
+    q_b = np.full(20, 1.0 / 20, np.float32)
+
+    psi_fwd = precompute_filter_matrix(
+        A, B, kernel_shape=(3,), radius_cutoff=0.5,
+        quadrature_weights=q_a, normalize=False,
+    )  # (K, |B|, |A|)
+    psi_t = precompute_filter_matrix(
+        B, A, kernel_shape=(3,), radius_cutoff=0.5,
+        quadrature_weights=q_b, normalize=False, transpose=True,
+    )  # (K, |A|, |B|)
+    # strip each side's quadrature weights, compare raw basis evaluations
+    raw_fwd = psi_fwd / q_a[None, None, :]
+    raw_t = psi_t / q_b[None, None, :]
+    np.testing.assert_allclose(
+        raw_t, np.transpose(raw_fwd, (0, 2, 1)), atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("basis_type", ["piecewise_linear", "morlet", "zernike"])
+def test_unstructured_basis_types(basis_type):
+    from neuraloperator_tpu.layers.discrete_continuous_convolution import (
+        num_basis_functions,
+    )
+
+    rng = np.random.RandomState(3)
+    in_coords = rng.rand(25, 2).astype(np.float32)
+    out_coords = rng.rand(10, 2).astype(np.float32)
+    ks = (2, 3) if basis_type != "zernike" else (2,)
+    psi = precompute_filter_matrix(
+        in_coords, out_coords, kernel_shape=ks, radius_cutoff=0.6,
+        basis_type=basis_type,
+    )
+    assert psi.shape == (num_basis_functions(ks, basis_type), 10, 25)
+    assert np.isfinite(psi).all()
+
+
+def test_periodic_filter_matrix_wraps():
+    """Points near opposite edges of the unit torus are neighbors."""
+    A = np.array([[0.02, 0.5]], np.float32)
+    B = np.array([[0.98, 0.5]], np.float32)
+    psi_np = precompute_filter_matrix(
+        A, B, kernel_shape=(2,), radius_cutoff=0.2, normalize=False
+    )
+    psi_p = precompute_filter_matrix(
+        A, B, kernel_shape=(2,), radius_cutoff=0.2, normalize=False,
+        periodic=True,
+    )
+    assert np.abs(psi_np).sum() == 0.0  # euclidean distance 0.96 > cutoff
+    assert np.abs(psi_p).sum() > 0.0    # wrapped distance 0.04 < cutoff

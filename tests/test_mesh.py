@@ -115,3 +115,142 @@ def test_full_train_step_on_mesh(model_and_data):
         ys = jax.device_put(y, mesh_lib.batch_sharding(mesh, y.ndim))
         new_p, new_o, loss = jax.jit(step)(ps, os_, xs, ys)
     assert np.isfinite(float(loss))
+
+
+def test_tp_specs_identify_factorizations():
+    """tp_param_specs shards the out-channel factor of each factorization."""
+    from neuraloperator_tpu.layers.spectral_convolution import SpectralConv
+
+    mesh = mesh_lib.init(model_parallel_size=2)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 8))
+    for fact, leafname, dim in (
+        (None, "w_weight", 2),
+        ("cp", "w_factor_1", 1),
+        ("tucker", "w_factor_1", 1),
+        ("tt", "w_factor_1", 2),
+    ):
+        conv = SpectralConv(
+            in_channels=8, out_channels=8, n_modes=(4, 4),
+            factorization=fact, rank=0.5,
+        )
+        params = conv.init(jax.random.PRNGKey(1), x)["params"]
+        specs = mesh_lib.tp_param_specs(params, mesh)
+        spec = specs[leafname].spec
+        assert spec[dim] == "model", (fact, leafname, spec)
+        for j, s in enumerate(spec):
+            if j != dim:
+                assert s is None
+
+
+@pytest.mark.parametrize("factorization", ["tucker", "cp"])
+def test_tensor_parallel_tfno_factorized(factorization):
+    """TP-sharded factorized (TFNO-style) weights match single device."""
+    model = FNO(
+        n_modes=(4, 4), in_channels=1, out_channels=1, hidden_channels=8,
+        n_layers=2, factorization=factorization, rank=0.4,
+        implementation="factorized",
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 1, 8, 8))
+    params = model.init(jax.random.PRNGKey(2), x)["params"]
+    ref = model.apply({"params": params}, x)
+
+    mesh = mesh_lib.init(model_parallel_size=2)
+    with mesh:
+        ps = mesh_lib.shard_params(params, mesh)
+        xs = jax.device_put(x, mesh_lib.batch_sharding(mesh, x.ndim))
+        out = jax.jit(lambda p, v: model.apply({"params": p}, v))(ps, xs)
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(out), rtol=2e-4, atol=1e-5
+    )
+
+
+def test_tfno_dp_grads_match():
+    """DP grads of a factorized TFNO match the single-device grads."""
+    model = FNO(
+        n_modes=(4, 4), in_channels=1, out_channels=1, hidden_channels=8,
+        n_layers=2, factorization="tucker", rank=0.4,
+        implementation="factorized",
+    )
+    l2 = LpLoss(d=2, reduction="mean")
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 1, 8, 8))
+    y = jax.random.normal(jax.random.PRNGKey(1), (8, 1, 8, 8))
+    params = model.init(jax.random.PRNGKey(2), x)["params"]
+
+    def loss_fn(p, xx, yy):
+        return l2(model.apply({"params": p}, xx), yy)
+
+    g_ref = jax.jit(jax.grad(loss_fn))(params, x, y)
+    mesh = mesh_lib.init(model_parallel_size=2)
+    with mesh:
+        ps = mesh_lib.shard_params(params, mesh)
+        xs = jax.device_put(x, mesh_lib.batch_sharding(mesh, x.ndim))
+        ys = jax.device_put(y, mesh_lib.batch_sharding(mesh, y.ndim))
+        g = jax.jit(jax.grad(loss_fn))(ps, xs, ys)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5
+        )
+
+
+def test_sfno_on_mesh_matches_single_device():
+    from neuraloperator_tpu.models import SFNO
+
+    model = SFNO(
+        n_modes=(8, 8), in_channels=2, out_channels=2, hidden_channels=8,
+        n_layers=2,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 2, 16, 32))
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+    ref = model.apply({"params": params}, x)
+
+    mesh = mesh_lib.init(model_parallel_size=2)
+    with mesh:
+        ps = mesh_lib.shard_params(params, mesh)
+        xs = jax.device_put(x, mesh_lib.batch_sharding(mesh, x.ndim))
+        out = jax.jit(lambda p, v: model.apply({"params": p}, v))(ps, xs)
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(out), rtol=2e-4, atol=1e-5
+    )
+
+
+def test_gino_on_mesh_matches_single_device():
+    from neuraloperator_tpu.models import GINO
+
+    rng = np.random.RandomState(0)
+    n_in, n_out, d = 40, 16, 3
+    input_geom = jnp.asarray(rng.rand(1, n_in, d), jnp.float32)
+    axes = [jnp.linspace(0, 1, 4)] * d
+    latent_queries = jnp.stack(
+        jnp.meshgrid(*axes, indexing="ij"), axis=-1
+    )[None]
+    output_queries = jnp.asarray(rng.rand(1, n_out, d), jnp.float32)
+    x = jnp.asarray(rng.rand(4, n_in, 4), jnp.float32)
+
+    model = GINO(
+        in_channels=4, out_channels=2, gno_coord_dim=d,
+        in_gno_radius=0.4, out_gno_radius=0.4, fno_in_channels=4,
+        fno_n_modes=(4, 4, 4), fno_hidden_channels=8, fno_n_layers=1,
+        gno_max_neighbors=16,
+        in_gno_channel_mlp_hidden_layers=(16,),
+        out_gno_channel_mlp_hidden_layers=(16,),
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), input_geom, latent_queries, output_queries, x
+    )["params"]
+    ref = model.apply(
+        {"params": params}, input_geom, latent_queries, output_queries, x
+    )
+
+    mesh = mesh_lib.init(model_parallel_size=2)
+    with mesh:
+        ps = mesh_lib.shard_params(params, mesh)
+        xs = jax.device_put(x, mesh_lib.batch_sharding(mesh, x.ndim))
+        out = jax.jit(
+            lambda p, v: model.apply(
+                {"params": p}, input_geom, latent_queries, output_queries, v
+            )
+        )(ps, xs)
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(out), rtol=2e-3, atol=1e-4
+    )

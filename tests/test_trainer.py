@@ -202,3 +202,87 @@ def test_autoregression_horizon_from_processor():
         {"l2": CountingLoss()}, None,
     )
     assert len(calls) == 2  # horizon from processor, not y's 5 steps
+
+
+def test_scheduler_changes_lr_trajectory():
+    """StepLR actually scales updates: with gamma=0 the params freeze after
+    step_size epochs (reference steps its scheduler per epoch,
+    trainer.py:296-310)."""
+    import jax
+
+    from neuraloperator_tpu.training.optimizer import StepLR
+
+    ds = _toy_problem(n=16)
+    loader = DataLoader(ds, batch_size=8)
+    test_loader = {8: DataLoader(ds, batch_size=8)}
+    l2 = LpLoss(d=2)
+
+    model = _small_model()
+    trainer = Trainer(model=model, n_epochs=1, eval_interval=10)
+    trainer.train(loader, test_loader, adamw(1e-2), training_loss=l2,
+                  eval_losses={"l2": l2})
+    params_before = jax.device_get(trainer.params)
+
+    # continue 2 more epochs with a scheduler that zeroes the LR immediately
+    sched = StepLR(step_size=1, gamma=0.0)
+    sched.step()  # factor -> 0 from the first continued epoch
+    assert sched.factor == 0.0
+    trainer.n_epochs = 1
+    trainer.train(loader, test_loader, adamw(1e-2), scheduler=sched,
+                  training_loss=l2, eval_losses={"l2": l2})
+    params_after = jax.device_get(trainer.params)
+    for a, b in zip(jax.tree_util.tree_leaves(params_before),
+                    jax.tree_util.tree_leaves(params_after)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_step_lr_decay_schedule():
+    from neuraloperator_tpu.training.optimizer import StepLR
+
+    s = StepLR(step_size=2, gamma=0.5)
+    factors = []
+    for _ in range(6):
+        s.step()
+        factors.append(s.factor)
+    assert factors == [1.0, 0.5, 0.5, 0.25, 0.25, 0.125]
+
+
+def test_reduce_lr_on_plateau_epoch_protocol():
+    from neuraloperator_tpu.training.optimizer import ReduceLROnPlateau
+
+    s = ReduceLROnPlateau(factor=0.5, patience=1)
+    s.step(1.0)   # best=1.0
+    s.step(1.0)   # bad 1
+    assert s.factor == 1.0
+    s.step(1.0)   # bad 2 > patience -> reduce
+    assert s.factor == 0.5
+    s.step(0.5)   # improvement resets
+    s.step(0.5)
+    assert s.factor == 0.5
+
+
+def test_regularizer_applied():
+    """An L2 params penalty changes the reported loss and the updates."""
+    import jax
+
+    ds = _toy_problem(n=16)
+    loader = DataLoader(ds, batch_size=8)
+    test_loader = {8: DataLoader(ds, batch_size=8)}
+    l2 = LpLoss(d=2)
+
+    def reg(params):
+        import jax.numpy as jnp
+
+        return 1e3 * sum(
+            jnp.sum(p.astype(jnp.float32) ** 2)
+            for p in jax.tree_util.tree_leaves(params)
+        )
+
+    model = _small_model()
+    t_plain = Trainer(model=model, n_epochs=1, eval_interval=10)
+    m_plain = t_plain.train(loader, test_loader, adamw(1e-3),
+                            training_loss=l2, eval_losses={"l2": l2})
+    t_reg = Trainer(model=model, n_epochs=1, eval_interval=10)
+    m_reg = t_reg.train(loader, test_loader, adamw(1e-3), regularizer=reg,
+                        training_loss=l2, eval_losses={"l2": l2})
+    assert m_reg["train_err"] > m_plain["train_err"] + 1.0
