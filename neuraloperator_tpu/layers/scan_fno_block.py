@@ -85,6 +85,7 @@ class ScanFNOBlocks(nn.Module):
     non_linearity: Callable = gelu
     max_n_modes: Optional[Tuple[int, ...]] = None
     weight_dtype: str = "float32"
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -92,8 +93,12 @@ class ScanFNOBlocks(nn.Module):
             raise ValueError(
                 "scan-over-layers requires in_channels == out_channels"
             )
+        # scan-of-remat: O(1)-in-depth compile AND O(1)-in-depth activation
+        # memory — each layer's activations are recomputed in the backward
+        # pass (the standard deep-stack memory recipe on TPU)
+        layer_cls = nn.remat(_ScanLayer) if self.remat else _ScanLayer
         scan = nn.scan(
-            _ScanLayer,
+            layer_cls,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             in_axes=0,

@@ -64,6 +64,7 @@ class FNO(nn.Module):
     enforce_hermitian_symmetry: bool = True
     weight_dtype: str = "float32"
     scan_layers: bool = False
+    remat: bool = False
 
     @property
     def n_dim(self) -> int:
@@ -168,6 +169,7 @@ class FNO(nn.Module):
                     "use the unrolled FNOBlocks path"
                 )
             self.fno_blocks = ScanFNOBlocks(
+                remat=self.remat,
                 in_channels=self.hidden_channels,
                 out_channels=self.hidden_channels,
                 n_modes=self.n_modes,
@@ -182,7 +184,17 @@ class FNO(nn.Module):
             )
             return
 
-        self.fno_blocks = FNOBlocks(
+        # remat: recompute each block's activations in the backward pass
+        # instead of storing them — the TPU-native counterpart of the
+        # reference's CPU activation offloading for high-resolution inputs
+        # (doc/source/user_guide "CPU Offloading"). index/output_shape/
+        # n_modes are static python args of FNOBlocks.__call__.
+        blocks_cls = (
+            nn.remat(FNOBlocks, static_argnums=(2, 3, 5))
+            if self.remat
+            else FNOBlocks
+        )
+        self.fno_blocks = blocks_cls(
             in_channels=self.hidden_channels,
             out_channels=self.hidden_channels,
             n_modes=self.n_modes,
@@ -253,12 +265,10 @@ class FNO(nn.Module):
             x = self.fno_blocks(x)
         else:
             for i in range(self.n_layers):
+                # positional args: nn.remat's static_argnums only covers
+                # positional arguments (output_shape/n_modes are static)
                 x = self.fno_blocks(
-                    x,
-                    i,
-                    output_shape=output_shapes[i],
-                    ada_in_embedding=ada_in_embedding,
-                    n_modes=n_modes,
+                    x, i, output_shapes[i], ada_in_embedding, n_modes
                 )
 
         if dp is not None:

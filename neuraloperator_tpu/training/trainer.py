@@ -58,7 +58,7 @@ class Trainer:
         self.start_epoch = 0
         self._train_step = None
         self._eval_steps: Dict[str, Callable] = {}
-        self._autoreg_step = None
+        self._autoreg_cache: Dict = {}
 
         if wandb_log:
             try:
@@ -409,31 +409,50 @@ class Trainer:
         }
 
     def _eval_autoregressive(self, batch, eval_losses, max_steps):
-        """Rollout eval: y is a trajectory (b, T, c, spatial...)."""
+        """Rollout eval: y is a trajectory (b, T, c, spatial...).
+
+        The whole rollout runs as ONE jitted ``lax.scan`` program (the
+        reference host-loops one forward per step, trainer.py:589-671;
+        on a remote TPU runtime that serializes on per-step host syncs).
+        """
         if max_steps is None:
             # a the_well-style processor can carry the rollout horizon
             max_steps = getattr(self.data_processor, "n_steps_rollout", None)
-        if self._autoreg_step is None:
-            model = self.model
-            data_processor = self.data_processor
-
-            def one_step(params, x):
-                sample = {"x": x}
-                if data_processor is not None:
-                    sample = data_processor.preprocess(sample, train=False)
-                out = model.apply({"params": params}, sample["x"])
-                if data_processor is not None:
-                    out, _ = data_processor.postprocess(out, sample, train=False)
-                return out
-
-            self._autoreg_step = jax.jit(one_step)
-
         y = batch["y"]
         T = y.shape[1] if max_steps is None else min(max_steps, y.shape[1])
-        x = batch["x"]
-        totals = {name: 0.0 for name in eval_losses}
-        for t in range(T):
-            x = self._autoreg_step(self.params, x)
-            for name, loss in eval_losses.items():
-                totals[name] += float(loss(x, y[:, t]))
-        return {k: v / max(T, 1) for k, v in totals.items()}
+        names = tuple(sorted(eval_losses))
+        key = (T, names, tuple(y.shape))
+        if key not in self._autoreg_cache:
+            model = self.model
+            data_processor = self.data_processor
+            losses = {k: eval_losses[k] for k in names}
+
+            def rollout(params, x, y):
+                def body(x, yt):
+                    sample = {"x": x}
+                    if data_processor is not None:
+                        sample = data_processor.preprocess(sample, train=False)
+                    out = model.apply({"params": params}, sample["x"])
+                    if data_processor is not None:
+                        out, _ = data_processor.postprocess(
+                            out, sample, train=False
+                        )
+                    vals = jnp.stack(
+                        [
+                            jnp.asarray(losses[k](out, yt), jnp.float32)
+                            for k in names
+                        ]
+                    )
+                    return out, vals
+
+                _, vals = jax.lax.scan(
+                    body, x, jnp.moveaxis(y[:, :T], 0, 1)
+                )
+                return jnp.sum(vals, axis=0)  # (n_losses,)
+
+            self._autoreg_cache[key] = jax.jit(rollout)
+
+        vals = self._autoreg_cache[key](self.params, batch["x"], y)
+        self._last_rollout_T = T  # introspection for tests/metrics
+        vals = np.asarray(vals)
+        return {k: float(vals[i]) / max(T, 1) for i, k in enumerate(names)}

@@ -134,3 +134,50 @@ def test_jit_forward():
     y1 = fwd(variables["params"], x)
     y2 = model.apply(variables, x)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=2e-5, atol=1e-6)
+
+
+def test_remat_matches_plain_outputs_and_grads():
+    """remat=True recomputes activations; numerics identical."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 1, 16, 16))
+    plain = FNO(n_modes=(6, 6), in_channels=1, out_channels=1,
+                hidden_channels=8, n_layers=2)
+    remat = FNO(n_modes=(6, 6), in_channels=1, out_channels=1,
+                hidden_channels=8, n_layers=2, remat=True)
+    params = plain.init(jax.random.PRNGKey(1), x)["params"]
+
+    out_p = plain.apply({"params": params}, x)
+    out_r = remat.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_r),
+                               rtol=1e-6, atol=1e-6)
+
+    def loss(m):
+        def f(p):
+            return jnp.sum(m.apply({"params": p}, x) ** 2)
+        return f
+
+    g_p = jax.jit(jax.grad(loss(plain)))(params)
+    g_r = jax.jit(jax.grad(loss(remat)))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_p),
+                    jax.tree_util.tree_leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_remat_scan_layers_runs():
+    import jax
+    import jax.numpy as jnp
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 1, 16, 16))
+    model = FNO(n_modes=(6, 6), in_channels=1, out_channels=1,
+                hidden_channels=8, n_layers=3, scan_layers=True, remat=True)
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+    g = jax.grad(
+        lambda p: jnp.sum(model.apply({"params": p}, x) ** 2)
+    )(params)
+    assert all(
+        np.isfinite(np.asarray(l)).all()
+        for l in jax.tree_util.tree_leaves(g)
+    )

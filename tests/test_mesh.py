@@ -254,3 +254,23 @@ def test_gino_on_mesh_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(ref), np.asarray(out), rtol=2e-3, atol=1e-4
     )
+
+
+def test_make_distributed_batch_multiprocess_branch(monkeypatch):
+    """Drive the jax.make_array_from_process_local_data branch (unreachable
+    at real process_count()==1): with every device addressable, the
+    process-local data is the full global batch and the result must equal
+    the single-process shard_batch output."""
+    mesh = mesh_lib.init(model_parallel_size=2)
+    batch = {
+        "x": np.random.RandomState(0).randn(8, 1, 4, 4).astype(np.float32),
+        "y": np.random.RandomState(1).randn(8, 1, 4, 4).astype(np.float32),
+    }
+    ref = mesh_lib.shard_batch(
+        {k: jnp.asarray(v) for k, v in batch.items()}, mesh
+    )
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    out = mesh_lib.make_distributed_batch(batch, mesh)
+    for k in batch:
+        assert out[k].sharding == ref[k].sharding
+        np.testing.assert_array_equal(np.asarray(out[k]), np.asarray(ref[k]))
