@@ -198,6 +198,14 @@ def contract_dense_pallas(x_parts, w_parts):
 
     Returns f32 (re, im) of (b, o, m1..md). Matches the XLA packed-einsum
     contraction (``ops/contractions.contract_dense``) numerically.
+
+    Layout note: the kernel wants the flattened mode axis LEADING, so the
+    operands are moveaxis'd around the call — measured as the best
+    available option on this hardware. A mode-trailing (natural-layout)
+    kernel was tried and is not implementable today: Mosaic's dot_general
+    requires batch dims at position 0 ("batch dims pos must be 0"), and
+    in-kernel 3-d transposes materialize padded relayouts that blow the
+    16MB VMEM budget (measured 46MB at tile 128).
     """
     xr, xi = x_parts
     wr, wi = w_parts

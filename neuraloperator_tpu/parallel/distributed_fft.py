@@ -26,6 +26,7 @@ import math
 from functools import partial
 from typing import Optional, Tuple
 
+import flax.linen as _nn
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -176,6 +177,135 @@ def distributed_spectral_conv2d(
         out_specs=P(None, None, axis_name, None),
     )
     return fn(x, w_re, w_im)
+
+
+class DistributedSpectralConv2d(_nn.Module):
+    """Drop-in ``conv_module`` for FNO running the sharded-FFT path.
+
+    Same parameter layout as a dense 2-D ``SpectralConv`` (``w_weight``
+    split-real storage in centered mode order + ``bias``); the forward is
+    :func:`distributed_spectral_conv2d` on the current mesh — the spatial
+    height axis sharded over 'model', weight width-modes sharded per
+    device, ICI all_to_alls in between. Usage::
+
+        mesh = mesh_lib.init(model_parallel_size=4)
+        model = FNO(..., conv_module=DistributedSpectralConv2d)
+
+    Falls back to the local spectral conv when no mesh is active or the
+    'model' axis has size 1, so the same model (and the same params) runs
+    anywhere. Dense 2-D real-input configuration only —
+    factorization/separable/complex_data raise. Model-level realization
+    of the distributed design the reference scaffolds at
+    ``mpu/helpers.py:81-99``.
+    """
+
+    in_channels: int
+    out_channels: int
+    n_modes: Tuple[int, ...]
+    # API-parity fields accepted from FNOBlocks (unsupported ones raise)
+    max_n_modes: Optional[Tuple[int, ...]] = None
+    use_bias: bool = True
+    separable: bool = False
+    resolution_scaling_factor: Optional[float] = None
+    fno_block_precision: str = "full"
+    rank: float = 1.0
+    factorization: Optional[str] = None
+    implementation: str = "reconstructed"
+    fixed_rank_modes: bool = False
+    complex_data: bool = False
+    init_std: str = "auto"
+    fft_norm: str = "forward"
+
+    @property
+    def kept_modes(self) -> Tuple[int, int]:
+        m1, m2 = self.n_modes
+        return int(m1), int(m2) // 2 + 1
+
+    def _check(self):
+        if len(self.n_modes) != 2:
+            raise ValueError("DistributedSpectralConv2d is 2-D only")
+        bad = {
+            "separable": self.separable,
+            "factorization": self.factorization is not None,
+            "complex_data": self.complex_data,
+            "max_n_modes": self.max_n_modes is not None
+            and tuple(self.max_n_modes) != tuple(self.n_modes),
+            "resolution_scaling_factor":
+                self.resolution_scaling_factor is not None,
+        }
+        unsupported = [k for k, v in bad.items() if v]
+        if unsupported:
+            raise ValueError(
+                "DistributedSpectralConv2d does not support: "
+                + ", ".join(unsupported)
+            )
+
+    @_nn.compact
+    def __call__(self, x, output_shape=None, n_modes=None):
+        from ..layers.spectral_convolution import spectral_conv_forward
+        from ..tensor.factorized import FactorizationSpec
+        from . import mesh as mesh_lib
+
+        self._check()
+        if output_shape is not None or n_modes is not None:
+            raise ValueError(
+                "DistributedSpectralConv2d does not support per-call "
+                "output_shape/n_modes overrides"
+            )
+        kept_h, kept_w = self.kept_modes
+        std = (2 / (self.in_channels + self.out_channels)) ** 0.5
+        w_st = self.param(
+            "w_weight",
+            lambda key: std
+            * jax.random.normal(
+                key, (2, self.in_channels, self.out_channels, kept_h, kept_w)
+            ),
+        )
+        bias = None
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                lambda key: std
+                * jax.random.normal(key, (self.out_channels, 1, 1)),
+            )
+
+        mesh = mesh_lib.get_mesh()
+        if mesh is not None and mesh.shape.get(mesh_lib.MODEL_AXIS, 1) > 1:
+            w = jax.lax.complex(
+                w_st[0].astype(jnp.float32), w_st[1].astype(jnp.float32)
+            )
+            y = distributed_spectral_conv2d(
+                x, w, (kept_h, kept_w), mesh, axis_name=mesh_lib.MODEL_AXIS
+            )
+        else:
+            spec = FactorizationSpec(
+                "dense",
+                (self.in_channels, self.out_channels, kept_h, kept_w),
+            )
+            y = spectral_conv_forward(
+                x,
+                spec,
+                {"weight": jax.lax.complex(w_st[0], w_st[1])},
+                bias=None,
+                n_modes=[kept_h, kept_w],
+                max_n_modes=[kept_h, kept_w],
+                complex_data=False,
+                separable=False,
+                implementation="reconstructed",
+                fft_norm=self.fft_norm,
+                fno_block_precision=self.fno_block_precision,
+                enforce_hermitian_symmetry=False,
+                resolution_scaling_factor=None,
+                output_shape=None,
+                out_channels=self.out_channels,
+            )
+        if bias is not None:
+            y = y + bias[None]
+        return y
+
+    def transform(self, x, output_shape=None):
+        """Skip-branch resolution matching: identity (no scaling support)."""
+        return x
 
 
 def halo_exchange(x: jnp.ndarray, halo: int, axis_name: str = "model"):

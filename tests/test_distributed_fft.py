@@ -100,3 +100,47 @@ def test_halo_exchange():
     assert out.shape == (1, 1, 24, 4)
     np.testing.assert_allclose(out[0, 0, 1], np.asarray(x)[0, 0, 0])  # self
     np.testing.assert_allclose(out[0, 0, 0], np.asarray(x)[0, 0, 7])  # wrap
+
+
+def test_fno_with_distributed_conv_module():
+    """FNO(conv_module=DistributedSpectralConv2d) on a mesh matches the
+    same params run through the single-device fallback."""
+    from neuraloperator_tpu.models import FNO
+    from neuraloperator_tpu.parallel.distributed_fft import (
+        DistributedSpectralConv2d,
+    )
+
+    model = FNO(
+        n_modes=(8, 8), in_channels=1, out_channels=1, hidden_channels=4,
+        n_layers=2, conv_module=DistributedSpectralConv2d,
+    )
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(4, 1, 16, 16), jnp.float32
+    )
+    # init + reference forward with no active mesh (local fallback path)
+    mesh_lib._CURRENT_MESH = None
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    assert params["fno_blocks"]["conv_0"]["w_weight"].shape == (2, 4, 4, 8, 5)
+    ref = model.apply({"params": params}, x)
+
+    mesh = mesh_lib.init(model_parallel_size=4)
+    with mesh_lib.use_mesh(mesh):
+        xs = jax.device_put(x, NamedSharding(mesh, P(None, None, None, None)))
+        out = jax.jit(lambda p, v: model.apply({"params": p}, v))(params, xs)
+    mesh_lib._CURRENT_MESH = None
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=1e-5
+    )
+
+
+def test_distributed_conv_module_rejects_unsupported():
+    from neuraloperator_tpu.parallel.distributed_fft import (
+        DistributedSpectralConv2d,
+    )
+
+    conv = DistributedSpectralConv2d(
+        in_channels=2, out_channels=2, n_modes=(4, 4), separable=True
+    )
+    x = jnp.zeros((1, 2, 8, 8))
+    with pytest.raises(ValueError, match="does not support"):
+        conv.init(jax.random.PRNGKey(0), x)
