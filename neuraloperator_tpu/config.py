@@ -94,6 +94,8 @@ class OptConfig(ConfigBase):
     scheduler: str = "StepLR"
     step_size: int = 60
     gamma: float = 0.5
+    # bf16 forward/backward with f32 master weights (Trainer mixed_precision)
+    mixed_precision: bool = False
 
 
 @dataclass
@@ -112,6 +114,8 @@ class FNOModelConfig(ConfigBase):
     factorization: Optional[str] = None
     rank: float = 1.0
     weight_dtype: str = "float32"
+    # 'mixed': bf16 contraction operands, f32 accumulation (MXU-native)
+    fno_block_precision: str = "full"
     scan_layers: bool = False
 
 

@@ -60,6 +60,7 @@ def main():
         model=model,
         n_epochs=config.opt.n_epochs,
         data_processor=data_processor,
+        mixed_precision=config.opt.mixed_precision,
         eval_interval=config.eval_interval,
         mesh=mesh,
         verbose=config.verbose,

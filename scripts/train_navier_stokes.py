@@ -110,6 +110,7 @@ def main():
         data_processor=data_processor,
         eval_interval=config.eval_interval,
         mesh=mesh,
+        mixed_precision=config.opt.mixed_precision,
         verbose=config.verbose,
     )
     metrics = trainer.train(

@@ -274,3 +274,58 @@ def test_make_distributed_batch_multiprocess_branch(monkeypatch):
     for k in batch:
         assert out[k].sharding == ref[k].sharding
         np.testing.assert_array_equal(np.asarray(out[k]), np.asarray(ref[k]))
+
+
+@pytest.mark.parametrize("family", ["uno", "rno", "codano", "local_no"])
+def test_remaining_families_on_mesh_match_single_device(family):
+    """Every model family computes identical outputs on the 4x2 mesh."""
+    if family == "uno":
+        from neuraloperator_tpu.models import UNO
+
+        model = UNO(
+            in_channels=2, out_channels=1, hidden_channels=16,
+            lifting_channels=32, projection_channels=32, n_layers=5,
+            uno_out_channels=(8, 16, 16, 16, 8),
+            uno_n_modes=((4, 4),) * 5,
+            uno_scalings=((1.0, 1.0), (0.5, 0.5), (1, 1), (2, 2), (1, 1)),
+            channel_mlp_skip="linear",
+        )
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 2, 16, 16))
+    elif family == "rno":
+        from neuraloperator_tpu.models import RNO
+
+        model = RNO(
+            n_modes=(4, 4), in_channels=1, out_channels=1,
+            hidden_channels=8, n_layers=2,
+        )
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 3, 1, 12, 12))
+    elif family == "codano":
+        from neuraloperator_tpu.models import CODANO
+
+        model = CODANO(
+            n_modes=((4, 4),) * 2, n_layers=2,
+            hidden_variable_codimension=4, lifting_channels=8,
+            projection_channels=8, per_channel_attention=False,
+            attention_token_dim=1, domain_padding=None,
+        )
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 3, 12, 12))
+    else:
+        from neuraloperator_tpu.models import LocalNO
+
+        model = LocalNO(
+            n_modes=(6, 6), in_channels=2, out_channels=1,
+            hidden_channels=8, default_in_shape=(16, 16), n_layers=2,
+        )
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 2, 16, 16))
+
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+    ref = model.apply({"params": params}, x)
+
+    mesh = mesh_lib.init(model_parallel_size=2)
+    with mesh:
+        ps = mesh_lib.shard_params(params, mesh)
+        xs = jax.device_put(x, mesh_lib.batch_sharding(mesh, x.ndim))
+        out = jax.jit(lambda p, v: model.apply({"params": p}, v))(ps, xs)
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(out), rtol=5e-4, atol=5e-5
+    )
