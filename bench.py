@@ -146,11 +146,11 @@ def main():
         hidden_channels=HIDDEN,
         n_layers=LAYERS,
         projection_channel_ratio=4,
-        # bf16 spectral-weight storage: halves the HBM weight traffic;
-        # convergence validated at f32 quality on Darcy (PARITY.md)
+        # bf16 spectral-weight storage halves HBM weight traffic; 'mixed'
+        # runs bf16 contraction operands with f32 accumulation (MXU-native).
+        # Quality: H1 parity with f32 at 120 NS-64 epochs, final L2 ~10%
+        # (rel) behind — see BASELINE.md "Mixed-precision quality study"
         weight_dtype="bfloat16",
-        # 'mixed': bf16 contraction operands, f32 accumulation — the
-        # MXU-native fast path (A/B'd vs f32 in BASELINE.md)
         fno_block_precision=args.block_precision,
     )
     rng = np.random.RandomState(0)
