@@ -8,6 +8,22 @@ data, jax.sharding meshes for distribution.
 
 __version__ = "0.1.0"
 
-from .models import FNO, TFNO, get_model, available_models  # noqa: F401
-from .losses import LpLoss, H1Loss  # noqa: F401
+# top-level convenience imports mirroring the reference
+# (/root/reference/neuralop/__init__.py:1-19)
+from .models import FNO, RNO, TFNO, available_models, get_model  # noqa: F401
+from .losses import (  # noqa: F401
+    Aggregator,
+    BurgersEqnLoss,
+    FiniteDiff,
+    FourierDiff,
+    H1Loss,
+    ICLoss,
+    LpLoss,
+    Relobralo,
+    SoftAdapt,
+    WeightedSumLoss,
+    non_uniform_fd,
+)
 from .training import Trainer  # noqa: F401
+from .data import datasets, transforms  # noqa: F401
+from . import parallel  # noqa: F401  (the reference exposes `mpu` here)

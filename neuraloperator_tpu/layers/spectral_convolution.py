@@ -29,7 +29,11 @@ import numpy as np
 
 from ..ops.contractions import contract_block
 from ..ops.fourier import (
+    dft_gather_axis,
+    dft_scatter_axis,
     gather_center_modes,
+    rdft_gather_last,
+    rdft_scatter_last,
     hermitianize_parts,
     kept_mode_counts,
     resolve_weight_slices,
@@ -284,21 +288,6 @@ def spectral_conv_forward(
     if fno_block_precision == "half":
         x = x.astype(jnp.bfloat16).astype(jnp.float32)
 
-    # FFT is the only op allowed to touch complex dtypes; everything between
-    # the transforms runs on a stacked (2, ...) real array so restrictive
-    # TPU runtimes (no complex dot_general/roll/non-trailing-axis FFTs)
-    # never see a complex HLO op.
-    if complex_data:
-        xf = jnp.fft.fftn(x, norm=fft_norm, axes=fft_axes)
-        shifted_axes = fft_axes
-    else:
-        xf = jnp.fft.rfftn(x.astype(jnp.float32), norm=fft_norm, axes=fft_axes)
-        shifted_axes = fft_axes[:-1]
-    X = jnp.stack([jnp.real(xf), jnp.imag(xf)])  # (2, b, c, modes...)
-
-    if fno_block_precision in ("half", "mixed"):
-        X = X.astype(jnp.bfloat16).astype(jnp.float32)
-
     # --- slice active modes out of the stored weight (centered) ---
     slices_w = resolve_weight_slices(
         fft_size, n_modes, max_n_modes, separable, complex_data
@@ -307,28 +296,54 @@ def spectral_conv_forward(
     w_mode_start = 1 if separable else 2
     kept = list(spec_s.shape[w_mode_start:])
 
-    # --- gather the matching centered block of the spectrum ---
-    # negative axes index the same spatial dims despite the leading stack dim
+    # The FFT is the only op allowed to touch complex dtypes; everything
+    # between the transforms runs split-real so restrictive TPU runtimes
+    # (no complex dot_general/roll/non-trailing-axis FFTs) never see a
+    # complex HLO op beyond the transforms themselves.
     if complex_data:
-        block = gather_center_modes(X, kept, shifted_axes)
+        xf = jnp.fft.fftn(x, norm=fft_norm, axes=fft_axes)
+        X = jnp.stack([jnp.real(xf), jnp.imag(xf)])
+        if fno_block_precision in ("half", "mixed"):
+            X = X.astype(jnp.bfloat16).astype(jnp.float32)
+        block = gather_center_modes(X, kept, fft_axes)
+        br, bi = block[0], block[1]
     else:
+        # real path: the trailing-axis rfft + low-mode slice is a truncated
+        # real-DFT matmul for moderate sizes (kept <= half << n makes the
+        # matmul cheaper on the MXU than the FFT's HBM passes); every OTHER
+        # axis' fft + centered gather is ONE truncated complex-DFT matmul.
+        # Profiled on NS-128: the FFTs + gather/scatter slices were ~10 ms
+        # of the 27 ms step.
         kept_last = min(kept[-1], fft_size[-1])
-        block = gather_center_modes(X, kept[:-1], shifted_axes)
-        idx = [slice(None)] * block.ndim
-        idx[-1] = slice(0, kept_last)
-        block = block[tuple(idx)]
+        if mode_sizes[-1] <= 512:
+            br, bi = rdft_gather_last(
+                x.astype(jnp.float32), kept_last, fft_norm
+            )
+        else:
+            xf = jnp.fft.rfft(x.astype(jnp.float32), axis=-1, norm=fft_norm)
+            br, bi = jnp.real(xf), jnp.imag(xf)
+            idx = [slice(None)] * br.ndim
+            idx[-1] = slice(0, kept_last)
+            br, bi = br[tuple(idx)], bi[tuple(idx)]
+        for i, ax in enumerate(fft_axes[:-1]):
+            br, bi = dft_gather_axis(
+                br, bi, min(kept[i], mode_sizes[i]), ax, fft_norm
+            )
         if kept_last < kept[-1]:
             # weight wider than the spectrum: trim weight's last-mode factors
             trim = [slice(None)] * spec_s.order
             trim[-1] = slice(0, kept_last)
             spec_s, params_s = slice_factors(spec_s, params_s, trim)
+        if fno_block_precision in ("half", "mixed"):
+            br = br.astype(jnp.bfloat16).astype(jnp.float32)
+            bi = bi.astype(jnp.bfloat16).astype(jnp.float32)
 
     # --- contract on the MXU (split real/imag -> real matmuls) ---
     # half/mixed: bf16 operands, f32 accumulation — the MXU-native fast
     # path (reference runs the contraction in chalf under autocast,
     # spectral_convolution.py:436-459)
     out_r, out_i = contract_block(
-        (block[0], block[1]),
+        (br, bi),
         spec_s,
         params_s,
         separable=separable,
@@ -338,7 +353,6 @@ def spectral_conv_forward(
             jnp.bfloat16 if fno_block_precision in ("half", "mixed") else None
         ),
     )
-    OUT = jnp.stack([out_r, out_i])
 
     # --- output resolution ---
     out_sizes = list(mode_sizes)
@@ -351,28 +365,45 @@ def spectral_conv_forward(
 
     # --- scatter into the target spectrum and inverse transform ---
     if complex_data:
+        OUT = jnp.stack([out_r, out_i])
         OUT = _shrink_centered(OUT, out_sizes, fft_axes)
         S = scatter_center_modes(OUT, out_sizes, fft_axes)
         y = jnp.fft.ifftn(
             jax.lax.complex(S[0], S[1]), axes=fft_axes, norm=fft_norm
         )
     else:
+        # inverse of the truncated-DFT path: per earlier axis one
+        # (n_out x kept) inverse-DFT matmul (== scatter + ifft), then the
+        # reference's Hermitian enforcement — zero the imaginary part of
+        # the DC (and even-size Nyquist) bins of the NOW-PHYSICAL earlier
+        # axes (spectral_convolution.py:547-559) — then one trailing irfft.
         half = out_sizes[-1] // 2 + 1
-        OUT = _shrink_centered(OUT, out_sizes[:-1], fft_axes[:-1])
-        idx = [slice(None)] * OUT.ndim
-        idx[-1] = slice(0, min(OUT.shape[-1], half))
-        OUT = OUT[tuple(idx)]
-        S = scatter_center_modes(OUT, out_sizes[:-1], fft_axes[:-1])
-        S = scatter_low_modes_last(S, half, axis=-1)
-        re, im = S[0], S[1]
-        if enforce_hermitian_symmetry:
-            re, im = hermitianize_parts(re, im, out_sizes, fft_axes)
-        y = jnp.fft.irfftn(
-            jax.lax.complex(re, im),
-            s=out_sizes,
-            axes=fft_axes,
-            norm=fft_norm,
-        )
+        out_r = _shrink_centered(out_r, out_sizes[:-1], fft_axes[:-1])
+        out_i = _shrink_centered(out_i, out_sizes[:-1], fft_axes[:-1])
+        idx = [slice(None)] * out_r.ndim
+        idx[-1] = slice(0, min(out_r.shape[-1], half))
+        out_r, out_i = out_r[tuple(idx)], out_i[tuple(idx)]
+        for i, ax in enumerate(fft_axes[:-1]):
+            out_r, out_i = dft_scatter_axis(
+                out_r, out_i, out_sizes[i], ax, fft_norm
+            )
+        if out_sizes[-1] <= 512 and enforce_hermitian_symmetry:
+            # truncated inverse-rfft matmul with structural Hermitian
+            # enforcement (no pad, no complex op)
+            y = rdft_scatter_last(out_r, out_i, out_sizes[-1], fft_norm)
+        else:
+            out_r = scatter_low_modes_last(out_r, half, axis=-1)
+            out_i = scatter_low_modes_last(out_i, half, axis=-1)
+            if enforce_hermitian_symmetry:
+                out_i = out_i.at[..., 0].set(0.0)
+                if out_sizes[-1] % 2 == 0:
+                    out_i = out_i.at[..., half - 1].set(0.0)
+            y = jnp.fft.irfft(
+                jax.lax.complex(out_r, out_i),
+                n=out_sizes[-1],
+                axis=-1,
+                norm=fft_norm,
+            )
 
     if fno_block_precision in ("half", "mixed"):
         y = y.astype(jnp.float32)

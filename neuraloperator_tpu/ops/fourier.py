@@ -13,10 +13,12 @@ bit-identical mode selection semantics.
 All functions here are shape-static and jit-friendly.
 """
 
+import functools
 from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def kept_mode_counts(kept: int, size: int) -> Tuple[int, int]:
@@ -196,6 +198,152 @@ def hermitianize_parts(re, im, out_sizes, axes):
             [im[tuple(pre)], sym_i, im[tuple(post)]], axis=last_axis
         )
     return re, im
+
+
+# --------------------------------------------------------------------- #
+# Truncated-DFT path: for non-trailing axes the spectral conv only needs
+# ``kept << n`` frequencies, so the axis transform is a (kept x n) DFT
+# matmul on the MXU instead of a full n-point FFT followed by a gather —
+# and the inverse is an (n_out x kept) matmul instead of scatter + iFFT.
+# Profiled on the NS-128 bench: the height FFTs + gather/scatter slices
+# are ~10 ms of the 27 ms step; the matmuls cost ~1 GFLOP (micro-ms).
+# Matrices are cached as numpy (never jnp: a jit-trace-time cache entry
+# would leak tracers) and use bf16x3 (HIGH) precision for f32 accuracy.
+# --------------------------------------------------------------------- #
+
+
+@functools.lru_cache(maxsize=256)
+def _dft_gather_np(n: int, kept: int, norm: str) -> np.ndarray:
+    """(2, kept, n) real/imag stack of the centered-mode DFT matrix.
+
+    Row k holds frequency f_k in the centered order [-neg..-1, 0..pos-1]
+    (matching :func:`gather_center_modes`): D[k, h] = scale * exp(-2i pi
+    f_k h / n), with the single-axis share of the fftn norm.
+    """
+    neg, pos = kept_mode_counts(kept, n)
+    freqs = np.concatenate([np.arange(-neg, 0), np.arange(0, pos)])
+    h = np.arange(n)
+    d = np.exp(-2j * np.pi * freqs[:, None] * h[None, :] / n)
+    scale = {"forward": 1.0 / n, "backward": 1.0, "ortho": n ** -0.5}[norm]
+    d = d * scale
+    return np.stack([d.real, d.imag]).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=256)
+def _dft_scatter_np(n_out: int, kept: int, norm: str) -> np.ndarray:
+    """(2, n_out, kept) inverse-DFT matrix embedding centered modes.
+
+    Column k holds frequency f_k (same centered order); equals
+    ``ifft(scatter_center_modes(block))`` along the axis at output size
+    ``n_out``, including the inverse transform's share of the norm.
+    """
+    neg = kept // 2
+    pos = kept - neg
+    # block entry k holds frequency (k - neg): the centered order
+    # [-neg..-1, 0..pos-1] that gather/scatter_center_modes use
+    freqs = np.concatenate([np.arange(-neg, 0), np.arange(0, pos)])
+    h = np.arange(n_out)
+    d = np.exp(2j * np.pi * h[:, None] * freqs[None, :] / n_out)
+    scale = {"forward": 1.0, "backward": 1.0 / n_out, "ortho": n_out ** -0.5}[
+        norm
+    ]
+    d = d * scale
+    return np.stack([d.real, d.imag]).astype(np.float32)
+
+
+def _axis_complex_matmul(xr, xi, d_np: np.ndarray, axis: int):
+    """Apply a complex (rows x n) matrix along ``axis`` of split-real x."""
+    dr = jnp.asarray(d_np[0])
+    di = jnp.asarray(d_np[1])
+    axis = axis % xr.ndim
+
+    def mm(a, D):
+        out = jnp.tensordot(
+            D, a, axes=([1], [axis]), precision=jax.lax.Precision.HIGH
+        )
+        return jnp.moveaxis(out, 0, axis)
+
+    yr = mm(xr, dr) - mm(xi, di)
+    yi = mm(xi, dr) + mm(xr, di)
+    return yr, yi
+
+
+def dft_gather_axis(xr, xi, kept: int, axis: int, norm: str):
+    """fft+centered-gather along one axis as a truncated DFT matmul."""
+    n = xr.shape[axis]
+    return _axis_complex_matmul(xr, xi, _dft_gather_np(n, kept, norm), axis)
+
+
+def dft_scatter_axis(xr, xi, n_out: int, axis: int, norm: str):
+    """centered-scatter+ifft along one axis as an inverse-DFT matmul."""
+    kept = xr.shape[axis]
+    return _axis_complex_matmul(
+        xr, xi, _dft_scatter_np(n_out, kept, norm), axis
+    )
+
+
+@functools.lru_cache(maxsize=256)
+def _rdft_gather_np(n: int, kept: int, norm: str) -> np.ndarray:
+    """(2, kept, n): real-input DFT onto the lowest ``kept`` rfft bins.
+
+    cr = D[0] @ x, ci = D[1] @ x equals ``rfft(x)[..., :kept]`` split-real.
+    """
+    k = np.arange(kept)
+    w = np.arange(n)
+    ang = 2 * np.pi * k[:, None] * w[None, :] / n
+    scale = {"forward": 1.0 / n, "backward": 1.0, "ortho": n ** -0.5}[norm]
+    return np.stack(
+        [np.cos(ang) * scale, -np.sin(ang) * scale]
+    ).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=256)
+def _rdft_scatter_np(n_out: int, kept: int, norm: str) -> np.ndarray:
+    """(2, n_out, kept): truncated inverse-rfft as two real matmuls.
+
+    y = A[0] @ cr + A[1] @ ci equals ``irfft(pad(c, half), n_out)`` for a
+    half-spectrum whose DC (and Nyquist, when present) imaginary parts are
+    zero — i.e. the reference's Hermitian-enforced inverse
+    (spectral_convolution.py:547-559): bins k>0 (except Nyquist) are
+    conjugate-doubled, and the imaginary columns of DC/Nyquist are zeroed
+    structurally.
+    """
+    k = np.arange(kept)
+    w = np.arange(n_out)
+    ang = 2 * np.pi * w[:, None] * k[None, :] / n_out
+    weight = np.where((k == 0) | ((n_out % 2 == 0) & (k == n_out // 2)), 1.0, 2.0)
+    scale = {"forward": 1.0, "backward": 1.0 / n_out, "ortho": n_out ** -0.5}[
+        norm
+    ]
+    a_r = np.cos(ang) * weight[None, :] * scale
+    a_i = -np.sin(ang) * weight[None, :] * scale
+    # structural Hermitian enforcement: the DC/Nyquist imaginary parts
+    # never reach the output
+    a_i[:, 0] = 0.0
+    if n_out % 2 == 0 and kept - 1 == n_out // 2:
+        a_i[:, kept - 1] = 0.0
+    return np.stack([a_r, a_i]).astype(np.float32)
+
+
+def rdft_gather_last(x, kept: int, norm: str):
+    """``rfft(x, axis=-1)[..., :kept]`` as two real MXU matmuls."""
+    d = _rdft_gather_np(x.shape[-1], kept, norm)
+    dr, di = jnp.asarray(d[0]), jnp.asarray(d[1])
+    hp = jax.lax.Precision.HIGH
+    cr = jnp.tensordot(x, dr, axes=([x.ndim - 1], [1]), precision=hp)
+    ci = jnp.tensordot(x, di, axes=([x.ndim - 1], [1]), precision=hp)
+    return cr, ci
+
+
+def rdft_scatter_last(cr, ci, n_out: int, norm: str):
+    """Hermitian-enforced truncated inverse rfft along the last axis."""
+    a = _rdft_scatter_np(n_out, cr.shape[-1], norm)
+    ar, ai = jnp.asarray(a[0]), jnp.asarray(a[1])
+    hp = jax.lax.Precision.HIGH
+    return (
+        jnp.tensordot(cr, ar, axes=([cr.ndim - 1], [1]), precision=hp)
+        + jnp.tensordot(ci, ai, axes=([ci.ndim - 1], [1]), precision=hp)
+    )
 
 
 def resolve_weight_slices(
