@@ -315,28 +315,31 @@ def spectral_conv_forward(
         # Profiled on NS-128: the FFTs + gather/scatter slices were ~10 ms
         # of the 27 ms step.
         kept_last = min(kept[-1], fft_size[-1])
+        # half/mixed: the spectrum is bf16-rounded anyway, so the transform
+        # matmuls run with bf16 operands at DEFAULT precision (1 MXU pass);
+        # full precision keeps f32 operands at HIGH (bf16x3 = f32-accurate)
+        mixedish = fno_block_precision in ("half", "mixed")
+        tprec = jax.lax.Precision.DEFAULT if mixedish else None
+        xin = x.astype(jnp.bfloat16 if mixedish else jnp.float32)
         if mode_sizes[-1] <= 512:
-            br, bi = rdft_gather_last(
-                x.astype(jnp.float32), kept_last, fft_norm
-            )
+            br, bi = rdft_gather_last(xin, kept_last, fft_norm, tprec)
         else:
             xf = jnp.fft.rfft(x.astype(jnp.float32), axis=-1, norm=fft_norm)
             br, bi = jnp.real(xf), jnp.imag(xf)
             idx = [slice(None)] * br.ndim
             idx[-1] = slice(0, kept_last)
             br, bi = br[tuple(idx)], bi[tuple(idx)]
+            if mixedish:
+                br, bi = br.astype(jnp.bfloat16), bi.astype(jnp.bfloat16)
         for i, ax in enumerate(fft_axes[:-1]):
             br, bi = dft_gather_axis(
-                br, bi, min(kept[i], mode_sizes[i]), ax, fft_norm
+                br, bi, min(kept[i], mode_sizes[i]), ax, fft_norm, tprec
             )
         if kept_last < kept[-1]:
             # weight wider than the spectrum: trim weight's last-mode factors
             trim = [slice(None)] * spec_s.order
             trim[-1] = slice(0, kept_last)
             spec_s, params_s = slice_factors(spec_s, params_s, trim)
-        if fno_block_precision in ("half", "mixed"):
-            br = br.astype(jnp.bfloat16).astype(jnp.float32)
-            bi = bi.astype(jnp.bfloat16).astype(jnp.float32)
 
     # --- contract on the MXU (split real/imag -> real matmuls) ---
     # half/mixed: bf16 operands, f32 accumulation — the MXU-native fast
@@ -383,17 +386,31 @@ def spectral_conv_forward(
         idx = [slice(None)] * out_r.ndim
         idx[-1] = slice(0, min(out_r.shape[-1], half))
         out_r, out_i = out_r[tuple(idx)], out_i[tuple(idx)]
+        if fno_block_precision in ("half", "mixed"):
+            out_r = out_r.astype(jnp.bfloat16)
+            out_i = out_i.astype(jnp.bfloat16)
+        tprec = (
+            jax.lax.Precision.DEFAULT
+            if fno_block_precision in ("half", "mixed")
+            else None
+        )
         for i, ax in enumerate(fft_axes[:-1]):
             out_r, out_i = dft_scatter_axis(
-                out_r, out_i, out_sizes[i], ax, fft_norm
+                out_r, out_i, out_sizes[i], ax, fft_norm, tprec
             )
         if out_sizes[-1] <= 512 and enforce_hermitian_symmetry:
             # truncated inverse-rfft matmul with structural Hermitian
             # enforcement (no pad, no complex op)
-            y = rdft_scatter_last(out_r, out_i, out_sizes[-1], fft_norm)
+            y = rdft_scatter_last(
+                out_r, out_i, out_sizes[-1], fft_norm, tprec
+            )
         else:
-            out_r = scatter_low_modes_last(out_r, half, axis=-1)
-            out_i = scatter_low_modes_last(out_i, half, axis=-1)
+            out_r = scatter_low_modes_last(
+                out_r.astype(jnp.float32), half, axis=-1
+            )
+            out_i = scatter_low_modes_last(
+                out_i.astype(jnp.float32), half, axis=-1
+            )
             if enforce_hermitian_symmetry:
                 out_i = out_i.at[..., 0].set(0.0)
                 if out_sizes[-1] % 2 == 0:

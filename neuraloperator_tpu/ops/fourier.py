@@ -251,34 +251,41 @@ def _dft_scatter_np(n_out: int, kept: int, norm: str) -> np.ndarray:
     return np.stack([d.real, d.imag]).astype(np.float32)
 
 
-def _axis_complex_matmul(xr, xi, d_np: np.ndarray, axis: int):
+def _axis_complex_matmul(xr, xi, d_np: np.ndarray, axis: int,
+                         precision=None):
     """Apply a complex (rows x n) matrix along ``axis`` of split-real x."""
-    dr = jnp.asarray(d_np[0])
-    di = jnp.asarray(d_np[1])
+    precision = precision or jax.lax.Precision.HIGH
+    dtype = xr.dtype
+    dr = jnp.asarray(d_np[0], dtype)
+    di = jnp.asarray(d_np[1], dtype)
     axis = axis % xr.ndim
 
     def mm(a, D):
         out = jnp.tensordot(
-            D, a, axes=([1], [axis]), precision=jax.lax.Precision.HIGH
+            D, a, axes=([1], [axis]), precision=precision,
+            preferred_element_type=jnp.float32,
         )
-        return jnp.moveaxis(out, 0, axis)
+        return jnp.moveaxis(out, 0, axis).astype(dtype)
 
     yr = mm(xr, dr) - mm(xi, di)
     yi = mm(xi, dr) + mm(xr, di)
     return yr, yi
 
 
-def dft_gather_axis(xr, xi, kept: int, axis: int, norm: str):
+def dft_gather_axis(xr, xi, kept: int, axis: int, norm: str, precision=None):
     """fft+centered-gather along one axis as a truncated DFT matmul."""
     n = xr.shape[axis]
-    return _axis_complex_matmul(xr, xi, _dft_gather_np(n, kept, norm), axis)
+    return _axis_complex_matmul(
+        xr, xi, _dft_gather_np(n, kept, norm), axis, precision
+    )
 
 
-def dft_scatter_axis(xr, xi, n_out: int, axis: int, norm: str):
+def dft_scatter_axis(xr, xi, n_out: int, axis: int, norm: str,
+                     precision=None):
     """centered-scatter+ifft along one axis as an inverse-DFT matmul."""
     kept = xr.shape[axis]
     return _axis_complex_matmul(
-        xr, xi, _dft_scatter_np(n_out, kept, norm), axis
+        xr, xi, _dft_scatter_np(n_out, kept, norm), axis, precision
     )
 
 
@@ -325,24 +332,26 @@ def _rdft_scatter_np(n_out: int, kept: int, norm: str) -> np.ndarray:
     return np.stack([a_r, a_i]).astype(np.float32)
 
 
-def rdft_gather_last(x, kept: int, norm: str):
+def rdft_gather_last(x, kept: int, norm: str, precision=None):
     """``rfft(x, axis=-1)[..., :kept]`` as two real MXU matmuls."""
+    precision = precision or jax.lax.Precision.HIGH
     d = _rdft_gather_np(x.shape[-1], kept, norm)
-    dr, di = jnp.asarray(d[0]), jnp.asarray(d[1])
-    hp = jax.lax.Precision.HIGH
-    cr = jnp.tensordot(x, dr, axes=([x.ndim - 1], [1]), precision=hp)
-    ci = jnp.tensordot(x, di, axes=([x.ndim - 1], [1]), precision=hp)
-    return cr, ci
+    dr, di = jnp.asarray(d[0], x.dtype), jnp.asarray(d[1], x.dtype)
+    kw = dict(precision=precision, preferred_element_type=jnp.float32)
+    cr = jnp.tensordot(x, dr, axes=([x.ndim - 1], [1]), **kw)
+    ci = jnp.tensordot(x, di, axes=([x.ndim - 1], [1]), **kw)
+    return cr.astype(x.dtype), ci.astype(x.dtype)
 
 
-def rdft_scatter_last(cr, ci, n_out: int, norm: str):
+def rdft_scatter_last(cr, ci, n_out: int, norm: str, precision=None):
     """Hermitian-enforced truncated inverse rfft along the last axis."""
+    precision = precision or jax.lax.Precision.HIGH
     a = _rdft_scatter_np(n_out, cr.shape[-1], norm)
-    ar, ai = jnp.asarray(a[0]), jnp.asarray(a[1])
-    hp = jax.lax.Precision.HIGH
+    ar, ai = jnp.asarray(a[0], cr.dtype), jnp.asarray(a[1], cr.dtype)
+    kw = dict(precision=precision, preferred_element_type=jnp.float32)
     return (
-        jnp.tensordot(cr, ar, axes=([cr.ndim - 1], [1]), precision=hp)
-        + jnp.tensordot(ci, ai, axes=([ci.ndim - 1], [1]), precision=hp)
+        jnp.tensordot(cr, ar, axes=([cr.ndim - 1], [1]), **kw)
+        + jnp.tensordot(ci, ai, axes=([ci.ndim - 1], [1]), **kw)
     )
 
 

@@ -109,19 +109,25 @@ def sht(
     norm='ortho' only (the reference uses ortho throughout).
     """
     assert norm == "ortho"
+    from .fourier import rdft_gather_last
+
     nlat = x.shape[-2]
+    nlon = x.shape[-1]
     analysis, _ = _sht_matrices(nlat, lmax, mmax, grid)
-    F = jnp.fft.rfft(x, axis=-1, norm="forward")
-    m_avail = min(mmax, F.shape[-1])
-    F = F[..., :m_avail]
+    # longitude transform as a truncated real-DFT matmul: only mmax of the
+    # nlon//2+1 rfft bins are kept, so the (mmax x nlon) matmul beats the
+    # FFT and keeps the whole SHT complex-op-free (same trick as the
+    # spectral conv's truncated-DFT path, ops/fourier.py)
+    m_avail = min(mmax, nlon // 2 + 1)
+    Fr, Fi = rdft_gather_last(x, m_avail, "forward")
     if m_avail < mmax:
-        pad = [(0, 0)] * F.ndim
+        pad = [(0, 0)] * Fr.ndim
         pad[-1] = (0, mmax - m_avail)
-        F = jnp.pad(F, pad)
-    # per-m Legendre matmul; complex F x real matrix -> split parts
+        Fr, Fi = jnp.pad(Fr, pad), jnp.pad(Fi, pad)
+    # per-m Legendre matmul; split-real x real matrix
     Ar = analysis  # (l, m, j)
-    fr = jnp.einsum("lmj,...jm->...lm", Ar, jnp.real(F))
-    fi = jnp.einsum("lmj,...jm->...lm", Ar, jnp.imag(F))
+    fr = jnp.einsum("lmj,...jm->...lm", Ar, Fr)
+    fi = jnp.einsum("lmj,...jm->...lm", Ar, Fi)
     return jax.lax.complex(fr, fi)
 
 
@@ -134,18 +140,18 @@ def isht(
 ) -> jnp.ndarray:
     """Inverse real SHT: (..., lmax, mmax) complex -> (..., nlat, nlon) real."""
     assert norm == "ortho"
+    from .fourier import rdft_scatter_last
+
     _, synthesis = _sht_matrices(nlat, flm.shape[-2], flm.shape[-1], grid)
     Gr = jnp.einsum("jlm,...lm->...jm", synthesis, jnp.real(flm))
     Gi = jnp.einsum("jlm,...lm->...jm", synthesis, jnp.imag(flm))
-    G = jax.lax.complex(Gr, Gi)
     half = nlon // 2 + 1
-    m = G.shape[-1]
-    if m < half:
-        pad = [(0, 0)] * G.ndim
-        pad[-1] = (0, half - m)
-        G = jnp.pad(G, pad)
-    elif m > half:
-        idx = [slice(None)] * G.ndim
+    m = Gr.shape[-1]
+    if m > half:
+        idx = [slice(None)] * Gr.ndim
         idx[-1] = slice(0, half)
-        G = G[tuple(idx)]
-    return jnp.fft.irfft(G, n=nlon, axis=-1, norm="forward")
+        Gr, Gi = Gr[tuple(idx)], Gi[tuple(idx)]
+    # truncated inverse real-DFT matmul == pad-to-half + irfft (irfft
+    # ignores the DC/Nyquist imaginary parts, which the matrix encodes
+    # structurally)
+    return rdft_scatter_last(Gr, Gi, nlon, "forward")
