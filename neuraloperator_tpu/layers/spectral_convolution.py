@@ -423,7 +423,10 @@ def spectral_conv_forward(
             )
 
     if fno_block_precision in ("half", "mixed"):
-        y = y.astype(jnp.float32)
+        # keep the block's activations bf16: an f32 conv output would
+        # promote every downstream skip/MLP matmul to f32 (3-pass) —
+        # profiled as ~2 ms/step of silent promotion on the NS-128 bench
+        y = y.astype(jnp.bfloat16)
 
     if bias is not None:
         y = y + bias[None]
