@@ -4,6 +4,11 @@ Counterpart of reference examples/data/plot_darcy_flow_spectrum.py,
 using ``spectrum_2d`` (reference neuralop/utils.py:81-146).
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent.parent))
+
 import numpy as np
 
 from neuraloperator_tpu.data.datasets import load_darcy_flow_small

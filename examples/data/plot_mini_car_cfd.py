@@ -3,6 +3,11 @@
 Counterpart of reference examples/data/plot_mini_car_cfd.py.
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent.parent))
+
 import numpy as np
 
 from neuraloperator_tpu.data.datasets import load_mini_car

@@ -5,6 +5,11 @@ solves u_t + u u_x = nu u_xx from random sine initial conditions and
 records the full (t, x) space-time field used for PINO training.
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent.parent))
+
 import numpy as np
 
 from neuraloperator_tpu.data.datasets.synthetic import (

@@ -1,5 +1,10 @@
 """Generate Darcy flow data with the in-package finite-volume solver."""
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent.parent))
+
 import tempfile
 from pathlib import Path
 

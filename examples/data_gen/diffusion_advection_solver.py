@@ -4,6 +4,11 @@ Counterpart of reference examples/data_gen/plot_diffusion_advection_solver.py:
 u_t + c . grad(u) = nu lap(u), solved exactly per Fourier mode.
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent.parent))
+
 import numpy as np
 
 n, nu = 64, 1e-2

@@ -4,6 +4,11 @@ Counterpart of reference examples/layers/plot_embeddings.py and
 plot_sinusoidal_embeddings.py.
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent.parent))
+
 import jax.numpy as jnp
 
 from neuraloperator_tpu.layers.embeddings import (

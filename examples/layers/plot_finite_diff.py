@@ -3,6 +3,11 @@
 Counterpart of reference examples/layers/plot_finite_diff.py.
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent.parent))
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -1,5 +1,10 @@
 """Fourier continuation of non-periodic signals (FC-Legendre / FC-Gram)."""
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent.parent))
+
 import jax.numpy as jnp
 import numpy as np
 

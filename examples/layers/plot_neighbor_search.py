@@ -1,5 +1,10 @@
 """Fixed-radius neighbor search: host CSR vs padded TPU layout."""
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent.parent))
+
 import numpy as np
 import jax.numpy as jnp
 

@@ -5,6 +5,11 @@ project a velocity field onto its divergence-free part,
 u_hat -> u_hat - k (k . u_hat)/|k|^2, and verify k . u_hat = 0.
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent.parent))
+
 import jax.numpy as jnp
 import numpy as np
 

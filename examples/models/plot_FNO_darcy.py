@@ -5,6 +5,11 @@ FNO on the 16x16 Darcy dataset in a few seconds and evaluates zero-shot
 super-resolution at 32x32.
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent.parent))
+
 import numpy as np
 
 from neuraloperator_tpu.data.datasets import load_darcy_flow_small

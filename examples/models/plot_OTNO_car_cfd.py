@@ -5,6 +5,11 @@ pressure prediction through an optimal-transport map onto a latent
 torus, run an FNO there, decode back to the car surface.
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent.parent))
+
 import jax
 import numpy as np
 

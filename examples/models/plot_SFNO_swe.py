@@ -4,6 +4,11 @@ Counterpart of the reference `plot_SFNO_swe.py`, using the in-package
 spherical SWE generator and the Legendre-matmul SHT.
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent.parent))
+
 from neuraloperator_tpu.data.datasets import load_spherical_swe
 from neuraloperator_tpu.losses import LpLoss
 from neuraloperator_tpu.models import SFNO

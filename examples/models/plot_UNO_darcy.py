@@ -1,5 +1,10 @@
 """Training a UNO (U-shaped Neural Operator) on Darcy flow."""
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent.parent))
+
 from neuraloperator_tpu.data.datasets import load_darcy_flow_small
 from neuraloperator_tpu.losses import H1Loss, LpLoss
 from neuraloperator_tpu.models import UNO

@@ -1,5 +1,10 @@
 """Checkpointing and resuming FNO training."""
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent.parent))
+
 import tempfile
 from pathlib import Path
 

@@ -5,6 +5,11 @@ uses torchtnt): on TPU, XLA reports exact flop and byte counts for the
 compiled program via ``count_flops``.
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent.parent))
+
 import jax
 import jax.numpy as jnp
 
