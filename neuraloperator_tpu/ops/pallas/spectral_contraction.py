@@ -107,6 +107,13 @@ def _mode_contraction(
             ar.shape[1:], br.shape[1:], ar.dtype.itemsize, br.dtype.itemsize,
             R1, R2,
         )
+        # prefer the largest tile under the budget that DIVIDES M: exact
+        # tiling removes the pad before and the trim-slice after the
+        # kernel (profiled ~1.6 ms/step of pads+slices on the NS bench)
+        for t in range(tile_m, 7, -8):
+            if M % t == 0:
+                tile_m = t
+                break
     Mp = ((M + tile_m - 1) // tile_m) * tile_m
     if Mp != M:
         pad = [(0, Mp - M), (0, 0), (0, 0)]
