@@ -240,3 +240,79 @@ def test_dynamic_n_modes_call_override():
     y_small = conv.apply(variables, x, n_modes=(4, 4))
     assert y_full.shape == y_small.shape == x.shape[:1] + (2, 16, 16)
     assert not np.allclose(np.asarray(y_full), np.asarray(y_small))
+
+
+class TestTruncatedDFT:
+    """ops/fourier.py DFT-matmul primitives vs numpy FFT ground truth."""
+
+    @pytest.mark.parametrize("n,kept", [(16, 8), (15, 7), (12, 12), (9, 4)])
+    def test_dft_gather_matches_fft_plus_centered_gather(self, n, kept):
+        from neuraloperator_tpu.ops.fourier import (
+            dft_gather_axis, kept_mode_counts,
+        )
+
+        rng = np.random.RandomState(0)
+        z = rng.randn(3, n) + 1j * rng.randn(3, n)
+        ref_full = np.fft.fft(z, axis=-1) / n  # norm='forward'
+        neg, pos = kept_mode_counts(kept, n)
+        ref = np.concatenate(
+            [ref_full[:, n - neg:], ref_full[:, :pos]], axis=-1
+        )
+        gr, gi = dft_gather_axis(
+            jnp.asarray(z.real, jnp.float32), jnp.asarray(z.imag, jnp.float32),
+            kept, -1, "forward",
+        )
+        np.testing.assert_allclose(np.asarray(gr), ref.real, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gi), ref.imag, atol=1e-5)
+
+    @pytest.mark.parametrize("n_out,kept", [(16, 8), (15, 7), (20, 9)])
+    def test_dft_scatter_matches_scatter_plus_ifft(self, n_out, kept):
+        from neuraloperator_tpu.ops.fourier import dft_scatter_axis
+
+        rng = np.random.RandomState(1)
+        block = rng.randn(2, kept) + 1j * rng.randn(2, kept)
+        neg = kept // 2
+        spec = np.zeros((2, n_out), complex)
+        spec[:, : kept - neg] = block[:, neg:]
+        spec[:, n_out - neg:] = block[:, :neg]
+        ref = np.fft.ifft(spec, axis=-1) * n_out  # inverse of norm='forward'
+        sr, si = dft_scatter_axis(
+            jnp.asarray(block.real, jnp.float32),
+            jnp.asarray(block.imag, jnp.float32),
+            n_out, -1, "forward",
+        )
+        np.testing.assert_allclose(np.asarray(sr), ref.real, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(si), ref.imag, atol=1e-4)
+
+    @pytest.mark.parametrize("n,kept", [(16, 9), (16, 5), (15, 8), (8, 5)])
+    def test_rdft_roundtrip_matches_rfft_irfft(self, n, kept):
+        from neuraloperator_tpu.ops.fourier import (
+            rdft_gather_last, rdft_scatter_last,
+        )
+
+        rng = np.random.RandomState(2)
+        x = rng.randn(4, n).astype(np.float32)
+        ref_c = np.fft.rfft(x, axis=-1)[:, :kept] / n
+        cr, ci = rdft_gather_last(jnp.asarray(x), kept, "forward")
+        np.testing.assert_allclose(np.asarray(cr), ref_c.real, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ci), ref_c.imag, atol=1e-5)
+
+        # inverse: pad to half, irfft (which ignores DC/Nyquist imag)
+        half = n // 2 + 1
+        spec = np.zeros((4, half), complex)
+        spec[:, :kept] = ref_c
+        ref_y = np.fft.irfft(spec, n=n, axis=-1) * n
+        y = rdft_scatter_last(cr, ci, n, "forward")
+        np.testing.assert_allclose(np.asarray(y), ref_y, atol=1e-4)
+
+    def test_rdft_scatter_ignores_dc_nyquist_imag(self):
+        from neuraloperator_tpu.ops.fourier import rdft_scatter_last
+
+        n, kept = 8, 5  # kept-1 == n//2: Nyquist present
+        rng = np.random.RandomState(3)
+        cr = jnp.asarray(rng.randn(2, kept), jnp.float32)
+        ci = jnp.asarray(rng.randn(2, kept), jnp.float32)
+        y1 = rdft_scatter_last(cr, ci, n, "forward")
+        ci2 = ci.at[:, 0].set(0.0).at[:, -1].set(0.0)
+        y2 = rdft_scatter_last(cr, ci2, n, "forward")
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
