@@ -1,5 +1,11 @@
 """Import reference (PyTorch) FNO checkpoints into flax params.
 
+Supports dense spectral weights (tltorch DenseTensor ``weight.tensor``)
+AND the factorized layouts (ComplexTucker ``weight.core``/
+``weight.factors.{i}``, ComplexCP ``weight.weights``/``weight.factors.{i}``,
+ComplexTT ``weight.factors.{i}``), mapping onto this package's
+``w_core``/``w_lambdas``/``w_factor_{i}`` split-real storage.
+
 Counterpart of the reference's metadata-carrying checkpoints
 (``/root/reference/neuralop/models/base_model.py:84-185``): the reference
 saves ``{save_name}_state_dict.pt`` (a torch ``state_dict`` with a
@@ -47,8 +53,20 @@ def _to_numpy(t):
 
 
 def _complex_to_storage(arr: np.ndarray) -> np.ndarray:
-    """complex (in, out, modes...) -> split-real (2, in, out, modes...)."""
-    return np.stack([arr.real, arr.imag]).astype(np.float32)
+    """complex (in, out, modes...) -> split-real (2, in, out, modes...).
+
+    Also accepts torch's ``view_as_real`` convention (real array with a
+    trailing dim of 2), which tltorch's Complex* factorized tensors use
+    for their factor parameters.
+    """
+    if np.iscomplexobj(arr):
+        return np.stack([arr.real, arr.imag]).astype(np.float32)
+    if arr.shape[-1] == 2:
+        return np.moveaxis(arr, -1, 0).astype(np.float32)
+    raise ValueError(
+        f"expected a complex tensor or view_as_real layout, got shape "
+        f"{arr.shape} dtype {arr.dtype}"
+    )
 
 
 def _set(tree: Dict, path, value):
@@ -68,6 +86,17 @@ _PATTERNS = [
      lambda a: a.astype(np.float32)),
     (re.compile(r"^fno_blocks\.convs\.(\d+)\.weight(?:\.tensor)?$"),
      lambda m: ("fno_blocks", f"conv_{m.group(1)}", "w_weight"),
+     _complex_to_storage),
+    # tltorch factorized layouts (reference spectral_convolution.py:362-370;
+    # ComplexTucker/ComplexCP/ComplexTT parameters): core/weights/factors
+    (re.compile(r"^fno_blocks\.convs\.(\d+)\.weight\.core$"),
+     lambda m: ("fno_blocks", f"conv_{m.group(1)}", "w_core"),
+     _complex_to_storage),
+    (re.compile(r"^fno_blocks\.convs\.(\d+)\.weight\.weights$"),
+     lambda m: ("fno_blocks", f"conv_{m.group(1)}", "w_lambdas"),
+     _complex_to_storage),
+    (re.compile(r"^fno_blocks\.convs\.(\d+)\.weight\.factors\.(\d+)$"),
+     lambda m: ("fno_blocks", f"conv_{m.group(1)}", f"w_factor_{m.group(2)}"),
      _complex_to_storage),
     (re.compile(r"^fno_blocks\.convs\.(\d+)\.bias$"),
      lambda m: ("fno_blocks", f"conv_{m.group(1)}", "bias"),
@@ -116,8 +145,8 @@ def convert_dense_fno_state_dict(state_dict: Dict, params_template=None):
             unmatched.append(key)
     if unmatched:
         raise ValueError(
-            "unconverted reference state-dict keys (dense FNO expected): "
-            f"{unmatched}"
+            "unconverted reference state-dict keys (dense or tltorch-"
+            f"factorized FNO expected): {unmatched}"
         )
 
     if params_template is not None:

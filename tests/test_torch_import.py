@@ -100,7 +100,7 @@ def test_convert_covers_every_parameter():
 def test_unknown_keys_raise():
     with pytest.raises(ValueError, match="unconverted"):
         convert_dense_fno_state_dict(
-            {"fno_blocks.convs.0.weight.factors.0": torch.zeros(3)}
+            {"fno_blocks.some_unknown_module.0.weight": torch.zeros(3)}
         )
 
 
@@ -146,4 +146,71 @@ def test_checkpoint_folder_roundtrip(tmp_path):
     assert kwargs["n_modes"] == NM
     out = model.apply({"params": params}, jnp.asarray(
         np.random.RandomState(4).randn(1, 3, 16, 16), jnp.float32))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("factorization", ["tucker", "cp", "tt"])
+def test_factorized_state_dict_roundtrip(factorization):
+    """tltorch-layout factorized weights convert onto our factor storage.
+
+    Builds the reference-format state dict FROM our own factorized params
+    (reverse mapping, using torch's view_as_real layout for the complex
+    factors) and checks the converter reproduces the original tree.
+    """
+    model = FNO(
+        n_modes=NM, in_channels=3, out_channels=1, hidden_channels=HID,
+        n_layers=2, lifting_channel_ratio=2, projection_channel_ratio=2,
+        factorization=factorization, rank=0.5, implementation="factorized",
+    )
+    x = jnp.zeros((1, 3, 16, 16))
+    template = model.init(jax.random.PRNGKey(0), x)["params"]
+
+    def to_torch_real2(storage):
+        # (2, ...) split-real -> view_as_real (..., 2)
+        return torch.from_numpy(
+            np.moveaxis(np.asarray(storage, np.float32), 0, -1).copy()
+        )
+
+    sd = {}
+    for mod in ("lifting", "projection"):
+        for j in (0, 1):
+            sd[f"{mod}.fcs.{j}.weight"] = torch.from_numpy(
+                np.asarray(template[mod][f"w{j}"])[..., None].copy())
+            sd[f"{mod}.fcs.{j}.bias"] = torch.from_numpy(
+                np.asarray(template[mod][f"b{j}"]).copy())
+    for i in range(2):
+        conv = template["fno_blocks"][f"conv_{i}"]
+        for name, val in conv.items():
+            if name == "bias":
+                sd[f"fno_blocks.convs.{i}.bias"] = torch.from_numpy(
+                    np.asarray(val).copy())
+            elif name == "w_core":
+                sd[f"fno_blocks.convs.{i}.weight.core"] = to_torch_real2(val)
+            elif name == "w_lambdas":
+                sd[f"fno_blocks.convs.{i}.weight.weights"] = to_torch_real2(val)
+            elif name.startswith("w_factor_"):
+                j = name.split("_")[-1]
+                sd[f"fno_blocks.convs.{i}.weight.factors.{j}"] = (
+                    to_torch_real2(val))
+        blk = template["fno_blocks"]
+        sd[f"fno_blocks.fno_skips.{i}.conv.weight"] = torch.from_numpy(
+            np.asarray(blk[f"fno_skip_{i}"]["weight"])[..., None].copy())
+        sd[f"fno_blocks.channel_mlp_skips.{i}.weight"] = torch.from_numpy(
+            np.asarray(blk[f"channel_mlp_skip_{i}"]["weight"]).copy())
+        for j in (0, 1):
+            sd[f"fno_blocks.channel_mlp.{i}.fcs.{j}.weight"] = (
+                torch.from_numpy(np.asarray(
+                    blk[f"channel_mlp_{i}"][f"w{j}"])[..., None].copy()))
+            sd[f"fno_blocks.channel_mlp.{i}.fcs.{j}.bias"] = torch.from_numpy(
+                np.asarray(blk[f"channel_mlp_{i}"][f"b{j}"]).copy())
+
+    params = convert_dense_fno_state_dict(sd, template)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(template)[0],
+        jax.tree_util.tree_flatten_with_path(params)[0],
+    ):
+        assert pa == pb
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    out = model.apply({"params": params}, jnp.asarray(
+        np.random.RandomState(5).randn(1, 3, 16, 16), jnp.float32))
     assert np.isfinite(np.asarray(out)).all()
