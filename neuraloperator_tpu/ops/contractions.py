@@ -4,8 +4,10 @@ Implements the contraction dispatch of the reference
 (``/root/reference/neuralop/layers/spectral_convolution.py:21-177``):
 given the truncated spectrum block ``x`` of shape ``(batch, in_ch, m1..md)``
 and a (possibly factorized) complex weight, compute the per-mode channel
-mixing. Every variant is expressed as a single ``jnp.einsum`` so XLA lowers
-it onto the MXU as batched (complex -> 4x real) matmuls.
+mixing. The dense path dispatches to the Pallas Karatsuba kernel on TPU
+(``ops/pallas/spectral_contraction.py``) or to a packed einsum (the four
+real products of the complex multiply stacked into one matmul); factorized
+variants run as complex einsums decomposed into real MXU matmuls.
 """
 
 import os

@@ -3,14 +3,23 @@
 The reference SpectralConv (``/root/reference/neuralop/layers/
 spectral_convolution.py:417-570``) materializes the full spectrum, applies
 ``fftshift`` (a full-array roll), slices a centered block of modes, contracts,
-``ifftshift``s and inverse-transforms. On TPU, full-array rolls are pure HBM
-bandwidth waste: the centered block of a shifted spectrum is exactly the
-concatenation of two *corner* slices of the unshifted spectrum. We therefore
-gather/scatter corner slices directly with static-shape ``concatenate``s,
-which XLA fuses with the surrounding FFTs — zero extra passes over HBM,
-bit-identical mode selection semantics.
+``ifftshift``s and inverse-transforms. This module provides two TPU-native
+realizations of the same semantics:
 
-All functions here are shape-static and jit-friendly.
+1. **Truncated-DFT matmuls** (the default for moderate axis sizes): since
+   only ``kept << n`` frequencies survive, each axis transform is one
+   ``(kept x n)`` DFT matmul on the MXU (``dft_gather_axis`` /
+   ``rdft_gather_last``) and the inverse embeds modes at the output size
+   with one ``(n_out x kept)`` matmul whose structure enforces the
+   DC/Nyquist Hermitian constraint for free.
+2. **FFT + corner slices** (fallback for large axes): the centered block
+   of a shifted spectrum equals two *corner* slices of the unshifted
+   spectrum, gathered/scattered with static-shape ``concatenate``s that
+   XLA fuses with the FFTs — no fftshift rolls, no extra HBM passes.
+
+Both are bit-equivalent in mode-selection semantics (pinned by unit tests
+against numpy FFTs and the independent DFT oracle). All functions here are
+shape-static and jit-friendly.
 """
 
 import functools
