@@ -228,6 +228,23 @@ class EquidistantDiscreteContinuousConvTranspose2d(nn.Module):
         return y
 
 
+def _grouped_channel_mix(z, w, groups: int):
+    """Grouped channel mixing for unstructured DISCO convs.
+
+    z: (b, in_channels, K, m); w: (out_channels, in_channels // groups, K).
+    Implements the reference's grouped einsum ``'bgckx,gock->bgox'``
+    (discrete_continuous_convolution.py:465-472, :658-672).
+    """
+    b, c_in, K, m = z.shape
+    o = w.shape[0]
+    if groups == 1:
+        return jnp.einsum("bikm,oik->bom", z, w)
+    zg = z.reshape(b, groups, c_in // groups, K, m)
+    wg = w.reshape(groups, o // groups, w.shape[1], K)
+    y = jnp.einsum("bgckm,gock->bgom", zg, wg)
+    return y.reshape(b, o, m)
+
+
 class DiscreteContinuousConv2d(nn.Module):
     """DISCO conv between arbitrary point sets (reference :271-477).
 
@@ -242,11 +259,12 @@ class DiscreteContinuousConv2d(nn.Module):
     kernel_shape: Tuple[int, ...] = (2,)
     groups: int = 1
     use_bias: bool = True
+    basis_type: str = "piecewise_linear"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, psi: jnp.ndarray) -> jnp.ndarray:
         """x: (batch, in_channels, n_in); psi: (K, n_out, n_in)."""
-        K = num_basis_functions(tuple(self.kernel_shape))
+        K = num_basis_functions(tuple(self.kernel_shape), self.basis_type)
         scale = math.sqrt(2.0 / (self.in_channels * K))
         w = self.param(
             "weight",
@@ -257,7 +275,7 @@ class DiscreteContinuousConv2d(nn.Module):
         )
         # integrate the basis against the input: (b, c, K, n_out)
         z = jnp.einsum("bcn,kmn->bckm", x, psi)
-        y = jnp.einsum("bikm,oik->bom", z, w)
+        y = _grouped_channel_mix(z, w, self.groups)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
             y = y + b[None, :, None]
@@ -348,9 +366,17 @@ def precompute_filter_matrix(
     psi = np.where(r[None] <= 1.0, psi, 0.0)
     psi = psi * quadrature_weights[None, None, :]
     if normalize:
-        # per-(basis, output-point) discrete-integral normalization
-        norms = np.abs(psi).sum(axis=2, keepdims=True)
-        psi = psi / np.maximum(norms, 1e-9)
+        # per-(basis, output-point) discrete-integral normalization. The
+        # reference divides by the SIGNED integral (+eps) — exact for the
+        # non-negative piecewise-linear basis; for the signed Morlet/
+        # Zernike bases (whose signed integrals can vanish) we normalize
+        # by the absolute integral instead, a numerically sane deviation
+        if basis_type == "piecewise_linear":
+            norms = psi.sum(axis=2, keepdims=True)
+            psi = psi / (norms + 1e-9)
+        else:
+            norms = np.abs(psi).sum(axis=2, keepdims=True)
+            psi = psi / np.maximum(norms, 1e-9)
     return psi.astype(np.float32)
 
 
@@ -389,7 +415,7 @@ class DiscreteContinuousConvTranspose2d(nn.Module):
         # scatter input values through the transposed filter: (b, c, K, n_out)
         z = jnp.einsum("bcn,kmn->bckm", x, psi)
         # grouped channel mixing (reference einsum 'bgckx,gock->bgox', :665)
-        y = jnp.einsum("bikm,oik->bom", z, w)
+        y = _grouped_channel_mix(z, w, self.groups)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
             y = y + b[None, :, None]

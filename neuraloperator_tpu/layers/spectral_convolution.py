@@ -429,7 +429,10 @@ def spectral_conv_forward(
         y = y.astype(jnp.bfloat16)
 
     if bias is not None:
-        y = y + bias[None]
+        # match the activation dtype: an f32 bias would silently promote
+        # the bf16 mixed-precision output (and every downstream matmul)
+        # back to f32
+        y = y + bias[None].astype(y.dtype)
     return y
 
 

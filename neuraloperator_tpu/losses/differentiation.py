@@ -284,12 +284,13 @@ class FourierDiff:
 
         if self.FC is not None:
             # extend to a smooth periodic function on a larger domain, then
-            # restrict the derivatives back (reference FC route)
+            # restrict the derivatives back (reference FC route). Use the
+            # FC layer's OWN point count: FCGram decrements an odd
+            # n_additional_pts, and a mismatch would scale every
+            # derivative by (n+requested)/(n+actual)
+            extra = self.FC.n_additional_pts
             u = self.FC.extend(u, dim=self.dim)
-            L = [
-                l * (n + self.fc_n_additional_pts) / n
-                for l, n in zip(L, sizes)
-            ]
+            L = [l * (n + extra) / n for l, n in zip(L, sizes)]
             sizes = [u.shape[a] for a in axes]
 
         # one forward FFT, split-real thereafter

@@ -31,7 +31,13 @@ _CONTRACTION_BACKEND = os.environ.get(
 
 
 def set_contraction_backend(name: str) -> None:
-    """Select the dense mode-contraction backend ('xla'|'pallas'|'auto')."""
+    """Select the dense mode-contraction backend ('xla'|'pallas'|'auto').
+
+    The choice is read at TRACE time: call this BEFORE the first execution
+    of any jitted function that should use it — already-compiled programs
+    keep the backend they were traced with (XLA caches compiled
+    executables; there is no portable way to invalidate them).
+    """
     global _CONTRACTION_BACKEND
     if name not in ("xla", "pallas", "auto"):
         raise ValueError(f"unknown contraction backend {name!r}")

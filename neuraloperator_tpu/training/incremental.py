@@ -64,7 +64,13 @@ class IncrementalFNOTrainer(Trainer):
     # -- override step builders to close over the current (static) n_modes --
     def _build_train_step(self, optimizer, training_loss, regularizer=None):
         n_modes = self.current_n_modes
-        key = ("train", n_modes)
+        # the jitted step closes over optimizer/loss/regularizer — key the
+        # cache on their identities so a second train() call with different
+        # objects does not silently reuse a stale step
+        key = (
+            "train", n_modes, id(optimizer), id(training_loss),
+            id(regularizer),
+        )
         if key in self._step_cache:
             return self._step_cache[key]
         data_processor = self.data_processor

@@ -206,3 +206,59 @@ def test_periodic_filter_matrix_wraps():
     )
     assert np.abs(psi_np).sum() == 0.0  # euclidean distance 0.96 > cutoff
     assert np.abs(psi_p).sum() > 0.0    # wrapped distance 0.04 < cutoff
+
+
+def test_unstructured_disco_groups():
+    """Regression: groups > 1 implements the reference's grouped einsum."""
+    from neuraloperator_tpu.layers.discrete_continuous_convolution import (
+        DiscreteContinuousConv2d,
+        DiscreteContinuousConvTranspose2d,
+    )
+
+    rng = np.random.RandomState(7)
+    in_coords = rng.rand(20, 2).astype(np.float32)
+    out_coords = rng.rand(12, 2).astype(np.float32)
+    psi = jnp.asarray(precompute_filter_matrix(
+        in_coords, out_coords, kernel_shape=(2,), radius_cutoff=0.5))
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 20))
+
+    conv = DiscreteContinuousConv2d(
+        in_channels=4, out_channels=6, kernel_shape=(2,), groups=2)
+    v = conv.init(jax.random.PRNGKey(1), x, psi)
+    y = conv.apply(v, x, psi)
+    assert y.shape == (2, 6, 12)
+    # grouping really masks cross-group mixing: zeroing group-2 input
+    # channels must not change group-1 outputs
+    x2 = x.at[:, 2:].set(0.0)
+    y2 = conv.apply(v, x2, psi)
+    np.testing.assert_allclose(
+        np.asarray(y[:, :3]), np.asarray(y2[:, :3]), atol=1e-6)
+
+    psi_t = jnp.asarray(precompute_filter_matrix(
+        in_coords, out_coords, kernel_shape=(2,), radius_cutoff=0.5,
+        transpose=True))
+    tconv = DiscreteContinuousConvTranspose2d(
+        in_channels=4, out_channels=6, kernel_shape=(2,), groups=2)
+    vt = tconv.init(jax.random.PRNGKey(2), x, psi_t)
+    yt = tconv.apply(vt, x, psi_t)
+    assert yt.shape == (2, 6, 12)
+
+
+def test_unstructured_conv_zernike_basis_end_to_end():
+    """Regression: basis_type must size the weight to the psi it receives."""
+    from neuraloperator_tpu.layers.discrete_continuous_convolution import (
+        DiscreteContinuousConv2d,
+    )
+
+    rng = np.random.RandomState(8)
+    in_coords = rng.rand(18, 2).astype(np.float32)
+    out_coords = rng.rand(9, 2).astype(np.float32)
+    psi = jnp.asarray(precompute_filter_matrix(
+        in_coords, out_coords, kernel_shape=(2,), radius_cutoff=0.6,
+        basis_type="zernike"))
+    conv = DiscreteContinuousConv2d(
+        in_channels=3, out_channels=2, kernel_shape=(2,),
+        basis_type="zernike")
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 3, 18))
+    v = conv.init(jax.random.PRNGKey(1), x, psi)
+    assert conv.apply(v, x, psi).shape == (1, 2, 9)

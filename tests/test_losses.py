@@ -253,3 +253,18 @@ class TestFourierDiffAPI:
             fd2.divergence(jnp.ones((1, 3, 8, 8)))
         with pytest.raises(ValueError):
             fd2.partial(jnp.ones((1, 8, 8)), "z")
+
+
+def test_fc_gram_odd_additional_pts_scale():
+    """Regression: FCGram silently decrements odd n_additional_pts; the
+    FourierDiff domain rescale must use the layer's actual count or every
+    derivative picks up a systematic scale error."""
+    n = 100
+    xs = np.linspace(0, 1, n)
+    u = jnp.asarray(xs ** 3)[None]
+    fd = FourierDiff(dim=1, L=1.0, use_fc="gram", fc_degree=4,
+                     fc_n_additional_pts=51)  # odd -> FC uses 50
+    du = np.asarray(fd.dx(u))[0]
+    interior = slice(10, -10)
+    rel = np.abs((du - 3 * xs ** 2)[interior]).max() / 3.0
+    assert rel < 2e-2, rel

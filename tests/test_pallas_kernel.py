@@ -133,3 +133,20 @@ def test_pallas_custom_vjp_matches_xla_grads(interpret_pallas):
         np.testing.assert_allclose(
             np.asarray(g_got), np.asarray(g_ref), atol=2e-3, rtol=1e-4
         )
+
+
+def test_mixed_precision_output_stays_bf16_with_bias():
+    """Regression: an f32 bias must not promote the mixed-mode block
+    output (and every downstream matmul) back to f32."""
+    import jax
+
+    from neuraloperator_tpu.layers.spectral_convolution import SpectralConv
+
+    conv = SpectralConv(
+        in_channels=4, out_channels=4, n_modes=(8, 8),
+        fno_block_precision="mixed", use_bias=True,
+    )
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 4, 16, 16), jnp.float32)
+    params = conv.init(jax.random.PRNGKey(0), x)
+    out = conv.apply(params, x)
+    assert out.dtype == jnp.bfloat16
