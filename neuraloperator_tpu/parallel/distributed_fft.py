@@ -175,6 +175,10 @@ def distributed_spectral_conv2d(
             P(None, None, None, axis_name),
         ),
         out_specs=P(None, None, axis_name, None),
+        # the weight cotangent crosses the replicated->sharded boundary in
+        # reverse mode; the varying-axes checker rejects it even though the
+        # transpose is well-defined (same pattern as parallel/comm.py)
+        check_vma=False,
     )
     return fn(x, w_re, w_im)
 
