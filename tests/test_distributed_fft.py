@@ -168,25 +168,39 @@ def test_fno_with_distributed_conv_trains_on_mesh():
     l2 = LpLoss(d=2)
     opt = optax.adamw(1e-3)
 
+    # single-device reference gradients (no active mesh -> local fallback)
+    def loss_fn_ref(q):
+        return l2(model.apply({"params": q}, x), y)
+
+    g_ref = jax.jit(jax.grad(loss_fn_ref))(params)
+
     mesh = mesh_lib.init(model_parallel_size=4)
-    with mesh_lib.use_mesh(mesh):
-        os_ = jax.device_put(
-            opt.init(params), NamedSharding(mesh, P())
-        )
-        ps = jax.device_put(params, NamedSharding(mesh, P()))
-        xs = jax.device_put(x, mesh_lib.batch_sharding(mesh, 4))
-        ys = jax.device_put(y, mesh_lib.batch_sharding(mesh, 4))
+    try:
+        with mesh_lib.use_mesh(mesh):
+            os_ = jax.device_put(
+                opt.init(params), NamedSharding(mesh, P())
+            )
+            ps = jax.device_put(params, NamedSharding(mesh, P()))
+            xs = jax.device_put(x, mesh_lib.batch_sharding(mesh, 4))
+            ys = jax.device_put(y, mesh_lib.batch_sharding(mesh, 4))
 
-        def step(p, s, xx, yy):
-            def loss_fn(q):
-                return l2(model.apply({"params": q}, xx), yy)
+            def step(p, s, xx, yy):
+                def loss_fn(q):
+                    return l2(model.apply({"params": q}, xx), yy)
 
-            loss, grads = jax.value_and_grad(loss_fn)(p)
-            updates, s = opt.update(grads, s, p)
-            return optax.apply_updates(p, updates), s, loss, grads
+                loss, grads = jax.value_and_grad(loss_fn)(p)
+                updates, s = opt.update(grads, s, p)
+                return optax.apply_updates(p, updates), s, loss, grads
 
-        new_p, _, loss, grads = jax.jit(step)(ps, os_, xs, ys)
-    mesh_lib._CURRENT_MESH = None
+            new_p, _, loss, grads = jax.jit(step)(ps, os_, xs, ys)
+    finally:
+        mesh_lib._CURRENT_MESH = None
     assert np.isfinite(float(loss))
-    conv_grads = grads["fno_blocks"]["conv_0"]["w_weight"]
-    assert np.any(np.asarray(conv_grads) != 0)
+    # gradient PARITY with the single-device path, not just finiteness:
+    # check_vma=False removes the static checker, so a dropped/extra psum
+    # in the shard_map transpose must be caught numerically here
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(grads)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
+        )
