@@ -117,3 +117,66 @@ def test_prefetch_loader_propagates_errors():
 
     with _pytest.raises(ValueError):
         PrefetchLoader(Bad(), depth=0)
+
+
+def test_the_well_wrappers_with_stubbed_package(monkeypatch):
+    """Exercise the the_well wrapper code paths with a minimal stub of the
+    optional package (absent in this environment): construction kwargs
+    passthrough, dict conversion, subclass dataset names."""
+    import sys
+    import types
+
+    import numpy as np
+
+    class _FakeWellDataset:
+        def __init__(self, well_base_path, well_dataset_name,
+                     well_split_name, n_steps_input, n_steps_output,
+                     **kwargs):
+            self.name = well_dataset_name
+            self.split = well_split_name
+            self.n_in, self.n_out = n_steps_input, n_steps_output
+
+        def __len__(self):
+            return 3
+
+        def __getitem__(self, idx):
+            return {
+                "input_fields": np.zeros((self.n_in, 4, 4, 2), np.float32),
+                "output_fields": np.ones((self.n_out, 4, 4, 2), np.float32),
+                "name": self.name,
+            }
+
+    fake_pkg = types.ModuleType("the_well")
+    fake_data = types.ModuleType("the_well.data")
+    fake_data.WellDataset = _FakeWellDataset
+    fake_pkg.data = fake_data
+    monkeypatch.setitem(sys.modules, "the_well", fake_pkg)
+    monkeypatch.setitem(sys.modules, "the_well.data", fake_data)
+
+    from neuraloperator_tpu.data.datasets.the_well_dataset import (
+        ActiveMatterDataset,
+        MHD64Dataset,
+        WellDataset,
+    )
+
+    ds = WellDataset("/tmp/well", "active_matter", "train",
+                     n_steps_input=2, n_steps_output=1)
+    assert len(ds) == 3
+    item = ds[0]
+    assert item["input_fields"].shape == (2, 4, 4, 2)
+    assert item["name"] == "active_matter"
+
+    am = ActiveMatterDataset("/tmp/well")
+    assert am[0]["name"] == "active_matter"
+    mhd = MHD64Dataset("/tmp/well", well_split_name="valid")
+    assert mhd._ds.split == "valid"
+    assert mhd[0]["name"] == "MHD_64"
+
+
+def test_the_well_wrappers_raise_without_package():
+    import pytest as _pytest
+
+    from neuraloperator_tpu.data.datasets.the_well_dataset import WellDataset
+
+    with _pytest.raises(ImportError, match="the_well"):
+        WellDataset("/tmp/well", "active_matter", "train")
