@@ -89,6 +89,10 @@ def generate_navier_stokes_files(
         return xs, ys
 
     for split, n_samples in (("train", n_train), ("test", n_test)):
+        if n_samples <= 0:
+            # don't write an empty file: its existence would suppress a
+            # proper regeneration later
+            continue
         x, y = make(n_samples)
         torch.save(
             {"x": torch.tensor(x), "y": torch.tensor(y)},
@@ -121,6 +125,13 @@ def load_navier_stokes_pt(
             n_test=max(max(n_tests), 8),
             res=train_resolution,
         )
+    # test files at OTHER resolutions (zero-shot super-resolution eval)
+    # are generated on demand too — train samples are skipped for those
+    for res, n_t in zip(test_resolutions, n_tests):
+        if not (root / f"nsforcing_test_{res}.pt").exists():
+            generate_navier_stokes_files(
+                root, n_train=0, n_test=max(n_t, 4), res=res
+            )
     ds = PTDataset(
         root_dir=root,
         dataset_name="nsforcing",
