@@ -120,7 +120,14 @@ class Trainer:
             {k: to_half(jnp.asarray(v)) for k, v in kwargs.items()},
         )
 
-    def _build_train_step(self, optimizer, training_loss, regularizer=None):
+    def _build_train_step(
+        self,
+        optimizer,
+        training_loss,
+        regularizer=None,
+        rollout_steps: int = 1,
+        pushforward: bool = True,
+    ):
         data_processor = self.data_processor
         model = self.model
         mixed = self.mixed_precision
@@ -136,6 +143,38 @@ class Trainer:
                 apply_params, kwargs = self._half_policy(params, kwargs)
             else:
                 apply_params = params
+            if rollout_steps > 1:
+                # Multi-step (pushforward-style) rollout training: 'y' is a
+                # trajectory (b, K, c, spatial...); the model is unrolled K
+                # steps feeding its own (normalized) predictions back. With
+                # ``pushforward=True`` a stop_gradient sits between steps —
+                # each step trains on model-rollout inputs at single-step
+                # backward cost (the pushforward trick); with False the
+                # chain is differentiated end-to-end (full BPTT). The
+                # reference has rollout *eval* only (trainer.py:589-671).
+                x = kwargs.pop("x")
+                y_traj = sample["y"]
+                feedback = getattr(data_processor, "feedback", None)
+                step_losses = []
+                for j in range(rollout_steps):
+                    out = model.apply({"params": apply_params}, x, **kwargs)
+                    step_losses.append(
+                        training_loss(out.astype(jnp.float32), y_traj[:, j])
+                    )
+                    if j < rollout_steps - 1:
+                        nxt = out if feedback is None else feedback(out)
+                        x = (
+                            jax.lax.stop_gradient(nxt) if pushforward else nxt
+                        )
+                loss = sum(step_losses) / rollout_steps
+                if regularizer is not None:
+                    reg = (
+                        regularizer.loss(params)
+                        if hasattr(regularizer, "loss")
+                        else regularizer(params)
+                    )
+                    loss = loss + reg
+                return loss
             out = model.apply({"params": apply_params}, **kwargs)
             out = out.astype(jnp.float32)
             if data_processor is not None:
@@ -218,6 +257,8 @@ class Trainer:
         save_best: Optional[str] = None,
         save_dir="./ckpt",
         resume_from_dir=None,
+        rollout_steps: int = 1,
+        pushforward: bool = True,
     ) -> Dict[str, float]:
         """Train the model.
 
@@ -233,6 +274,13 @@ class Trainer:
         loss: a callable ``regularizer(params) -> scalar`` or an object with
         ``.loss(params)`` (the reference adds ``regularizer.loss``
         accumulated during forward, trainer.py:538-539).
+
+        ``rollout_steps > 1`` enables multi-step rollout training: each
+        batch's ``y`` must be a trajectory ``(b, K, c, spatial...)`` with
+        ``K >= rollout_steps``; the model is unrolled feeding its own
+        predictions back, with a stop_gradient between steps when
+        ``pushforward=True`` (single-step backward cost, rollout-state
+        input distribution) or full BPTT when ``False``.
         """
         if training_loss is None:
             training_loss = LpLoss(d=2)
@@ -240,6 +288,13 @@ class Trainer:
             eval_losses = {"l2": LpLoss(d=2)}
 
         first_batch = next(iter(train_loader))
+        if rollout_steps > 1:
+            y0 = np.asarray(first_batch["y"])
+            if y0.ndim < 3 or y0.shape[1] < rollout_steps:
+                raise ValueError(
+                    f"rollout_steps={rollout_steps} needs trajectory targets "
+                    f"(b, K>={rollout_steps}, c, spatial...); got {y0.shape}"
+                )
         if self.params is None:
             self.params = self._init_params(first_batch)
         self.opt_state = optimizer.init(self.params)
@@ -263,7 +318,11 @@ class Trainer:
             )
 
         train_step = self._build_train_step(
-            optimizer, training_loss, regularizer
+            optimizer,
+            training_loss,
+            regularizer,
+            rollout_steps=rollout_steps,
+            pushforward=pushforward,
         )
         eval_step = self._build_eval_step(eval_losses)
 

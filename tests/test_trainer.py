@@ -281,3 +281,60 @@ def test_regularizer_applied():
     m_reg = t_reg.train(loader, test_loader, adamw(1e-3), regularizer=reg,
                         training_loss=l2, eval_losses={"l2": l2})
     assert m_reg["train_err"] > m_plain["train_err"] + 1.0
+
+
+def _toy_trajectory_problem(n=24, res=8, horizon=3):
+    """Windows from a linear 'dynamics': w_{t+1} = roll(w_t) * 0.9."""
+    rng = np.random.RandomState(1)
+    w = rng.randn(n, horizon + 1, res, res).astype(np.float32)
+    for t in range(1, horizon + 1):
+        w[:, t] = 0.9 * np.roll(w[:, t - 1], 1, axis=-1)
+    from neuraloperator_tpu.data.datasets.ns_solver import (
+        trajectories_to_windows,
+    )
+
+    x, y = trajectories_to_windows(w, horizon)
+    assert x.shape == (n, 1, res, res)
+    assert y.shape == (n, horizon, 1, res, res)
+    return TensorDataset(x, y)
+
+
+@pytest.mark.parametrize("pushforward", [True, False])
+def test_rollout_training_reduces_loss(pushforward):
+    horizon = 3
+    ds = _toy_trajectory_problem(horizon=horizon)
+    loader = DataLoader(ds, batch_size=8, shuffle=True)
+    model = _small_model()
+    l2 = LpLoss(d=2)
+
+    def run(n_epochs, lr):
+        trainer = Trainer(model=model, n_epochs=n_epochs, eval_interval=100)
+        trainer.train(
+            loader, {}, adamw(lr), training_loss=l2,
+            rollout_steps=horizon, pushforward=pushforward,
+        )
+        return trainer
+
+    base = run(1, 0.0)
+    trained = run(8, 1e-2)
+
+    # rollout-eval both with the autoregression path
+    def rollout_l2(trainer):
+        vals = trainer.evaluate(
+            None, loader, prefix="t", mode="autoregression",
+            eval_losses={"l2": l2},
+        )
+        return vals["t_l2"]
+
+    assert rollout_l2(trained) < rollout_l2(base)
+
+
+def test_rollout_training_single_step_y_raises():
+    ds = _toy_problem()
+    loader = DataLoader(ds, batch_size=8)
+    trainer = Trainer(model=_small_model(), n_epochs=1)
+    with pytest.raises(Exception):
+        trainer.train(
+            loader, {}, adamw(1e-3), training_loss=LpLoss(d=2),
+            rollout_steps=3,
+        )
