@@ -36,7 +36,7 @@ BASELINE_A100_STEPS_PER_SEC = 40.0
 BATCH, RES, HIDDEN, LAYERS, MODES = 8, 128, 64, 4, 64
 
 
-def analytic_step_flops() -> float:
+def analytic_step_flops(batch: int = BATCH) -> float:
     """Analytic FLOPs of one train step (fwd+bwd ~= 3x fwd).
 
     Counts the spectral contractions (4 real MACs per complex MAC), the
@@ -44,14 +44,14 @@ def analytic_step_flops() -> float:
     channel MLPs. Matches training/profiling.py conventions.
     """
     m_kept = MODES * (MODES // 2 + 1)  # rfft half-spectrum block
-    contraction = 4 * 2 * BATCH * HIDDEN * HIDDEN * m_kept  # per layer
+    contraction = 4 * 2 * batch * HIDDEN * HIDDEN * m_kept  # per layer
     n_pix = RES * RES
-    fft = 2 * 5 * BATCH * HIDDEN * n_pix * np.log2(n_pix)  # rfft+irfft
-    skip = 2 * BATCH * HIDDEN * HIDDEN * n_pix  # 1x1 conv skip
-    mlp = 2 * 2 * BATCH * HIDDEN * HIDDEN * n_pix  # channel MLP (2 layers)
+    fft = 2 * 5 * batch * HIDDEN * n_pix * np.log2(n_pix)  # rfft+irfft
+    skip = 2 * batch * HIDDEN * HIDDEN * n_pix  # 1x1 conv skip
+    mlp = 2 * 2 * batch * HIDDEN * HIDDEN * n_pix  # channel MLP (2 layers)
     per_layer = contraction + fft + skip + mlp
-    lifting = 2 * BATCH * n_pix * (3 * 256 + 256 * HIDDEN)
-    projection = 2 * BATCH * n_pix * (HIDDEN * 256 + 256 * 1)
+    lifting = 2 * batch * n_pix * (3 * 256 + 256 * HIDDEN)
+    projection = 2 * batch * n_pix * (HIDDEN * 256 + 256 * 1)
     fwd = LAYERS * per_layer + lifting + projection
     return 3.0 * fwd
 
@@ -125,6 +125,14 @@ def main():
     p.add_argument("--iters", type=int, default=50)
     p.add_argument("--skip-aux", action="store_true",
                    help="skip the conv-latency and roofline measurements")
+    p.add_argument("--opt-state", default="factored",
+                   choices=["full", "bf16mu", "factored"],
+                   help="AdamW state policy: full f32, bf16 first moment, "
+                        "or factored second moment + bf16 mu (cuts "
+                        "optimizer-state HBM traffic; A/B in BASELINE.md)")
+    p.add_argument("--batch", type=int, default=BATCH,
+                   help="batch size (throughput scales reported per-step "
+                        "at the reference batch of 8 by default)")
     args = p.parse_args()
 
     import optax
@@ -133,6 +141,7 @@ def main():
     from neuraloperator_tpu.models import FNO
     from neuraloperator_tpu.ops.contractions import set_contraction_backend
     from neuraloperator_tpu.training import setup
+    from neuraloperator_tpu.training.optimizer import adamw as adamw_factory
 
     # TF32-class matmul precision: 4e-5 max rel err vs f32 on FNO forward,
     # mirroring the reference's A100 TF32 training configuration
@@ -154,13 +163,21 @@ def main():
         fno_block_precision=args.block_precision,
     )
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(BATCH, 1, RES, RES), jnp.float32)
-    y = jnp.asarray(rng.randn(BATCH, 1, RES, RES), jnp.float32)
+    batch = args.batch
+    x = jnp.asarray(rng.randn(batch, 1, RES, RES), jnp.float32)
+    y = jnp.asarray(rng.randn(batch, 1, RES, RES), jnp.float32)
 
     # jit the init: eager init would execute complex intermediates op-by-op,
     # which restricted TPU runtimes cannot handle at this size
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x)["params"]
-    opt = optax.adamw(3e-4)
+    if args.opt_state == "full":
+        opt = optax.adamw(3e-4)
+    elif args.opt_state == "bf16mu":
+        opt = optax.adamw(3e-4, mu_dtype=jnp.bfloat16)
+    else:  # factored second moment + bf16 mu: least state traffic
+        opt = adamw_factory(
+            3e-4, factored_second_moment=True, mu_dtype=jnp.bfloat16
+        )
     opt_state = opt.init(params)
     h1 = H1Loss(d=2)
 
@@ -226,7 +243,7 @@ def main():
 
         conv_ms = bench_spectral_conv(args.block_precision)
         ceiling = measure_matmul_ceiling()
-        flops = analytic_step_flops()
+        flops = analytic_step_flops(batch)
         achieved = flops * device_steps_per_sec / 1e12
         result.update(
             {
@@ -237,6 +254,8 @@ def main():
                 "matmul_ceiling_tflops_bf16": round(ceiling, 2),
                 "mfu_vs_observed_ceiling": round(achieved / ceiling, 4),
                 "backend": args.backend,
+                "opt_state": args.opt_state,
+                "batch": batch,
                 "block_precision": args.block_precision,
             }
         )

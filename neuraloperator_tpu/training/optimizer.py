@@ -5,8 +5,11 @@ torch schedulers used by its scripts. Tensor-GaLore (low-rank gradient
 projection) is layered on top as an optax transform.
 """
 
-from typing import Optional
+from typing import NamedTuple, Optional
 
+import chex
+import jax
+import jax.numpy as jnp
 import optax
 
 
@@ -25,21 +28,149 @@ def cosine_annealing(base_lr: float, t_max: int, steps_per_epoch: int = 1):
     return optax.cosine_decay_schedule(base_lr, t_max * steps_per_epoch)
 
 
+class FactoredAdamState(NamedTuple):
+    count: chex.Array
+    mu: chex.ArrayTree
+    nu_row: chex.ArrayTree  # second moment, mean over the last axis
+    nu_col: chex.ArrayTree  # second moment, mean over the second-to-last
+    nu_full: chex.ArrayTree  # unfactored nu for params with ndim < 2
+
+
+def scale_by_adam_factored(
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    mu_dtype=None,
+) -> optax.GradientTransformation:
+    """Adam with an Adafactor-style *factored* second moment.
+
+    For params with >= 2 dims, ``nu`` is stored as its row/column means
+    over the last two axes and reconstructed as the rank-1 estimate
+    ``R * C / mean(R)`` (Shazeer & Stern 2018, eq. 4); smaller params keep
+    a full ``nu``. First moment ``mu`` is kept (optionally in
+    ``mu_dtype``, e.g. bf16). Against plain Adam this cuts optimizer-state
+    HBM traffic ~60-75% per step — on bandwidth-bound TPU training steps
+    the update phase is mostly state traffic (the reference's AdamW,
+    ``/root/reference/neuralop/training/adamw.py:62-110``, keeps full f32
+    exp_avg/exp_avg_sq).
+    """
+
+    def is_factored(p):
+        return p.ndim >= 2
+
+    def init_fn(params):
+        mu = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, dtype=mu_dtype or p.dtype), params
+        )
+        nu_row = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape[:-1], p.dtype)
+            if is_factored(p) else jnp.zeros((), p.dtype),
+            params,
+        )
+        nu_col = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape[:-2] + p.shape[-1:], p.dtype)
+            if is_factored(p) else jnp.zeros((), p.dtype),
+            params,
+        )
+        nu_full = jax.tree_util.tree_map(
+            lambda p: jnp.zeros((), p.dtype)
+            if is_factored(p) else jnp.zeros_like(p),
+            params,
+        )
+        return FactoredAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=mu, nu_row=nu_row, nu_col=nu_col, nu_full=nu_full,
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = optax.safe_int32_increment(state.count)
+        b1c = 1 - b1 ** count.astype(jnp.float32)
+        b2c = 1 - b2 ** count.astype(jnp.float32)
+
+        mu = jax.tree_util.tree_map(
+            lambda m, g: (b1 * m.astype(g.dtype) + (1 - b1) * g).astype(
+                m.dtype
+            ),
+            state.mu, updates,
+        )
+
+        def upd_row(r, g):
+            if not is_factored(g):
+                return r
+            return b2 * r + (1 - b2) * jnp.mean(g * g, axis=-1)
+
+        def upd_col(c, g):
+            if not is_factored(g):
+                return c
+            return b2 * c + (1 - b2) * jnp.mean(g * g, axis=-2)
+
+        def upd_full(n, g):
+            if is_factored(g):
+                return n
+            return b2 * n + (1 - b2) * g * g
+
+        nu_row = jax.tree_util.tree_map(upd_row, state.nu_row, updates)
+        nu_col = jax.tree_util.tree_map(upd_col, state.nu_col, updates)
+        nu_full = jax.tree_util.tree_map(upd_full, state.nu_full, updates)
+
+        def scaled(g, m, r, c, n):
+            m_hat = m.astype(jnp.float32) / b1c
+            if is_factored(g):
+                # rank-1 reconstruction: V ~= (R C^T) / mean(R)
+                r_mean = jnp.mean(r, axis=-1, keepdims=True)
+                v = (
+                    r[..., :, None]
+                    * c[..., None, :]
+                    / (r_mean[..., None] + 1e-30)
+                )
+            else:
+                v = n
+            return m_hat / (jnp.sqrt(v / b2c) + eps)
+
+        new_updates = jax.tree_util.tree_map(
+            scaled, updates, mu, nu_row, nu_col, nu_full
+        )
+        return new_updates, FactoredAdamState(
+            count=count, mu=mu, nu_row=nu_row, nu_col=nu_col, nu_full=nu_full
+        )
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def adamw(
     learning_rate,
     weight_decay: float = 0.0,
     betas=(0.9, 0.999),
     eps: float = 1e-8,
     max_grad_norm: Optional[float] = None,
+    mu_dtype=None,
+    factored_second_moment: bool = False,
 ) -> optax.GradientTransformation:
-    """AdamW matching torch defaults (reference ``training/adamw.py:11``)."""
-    tx = optax.adamw(
-        learning_rate=learning_rate,
-        b1=betas[0],
-        b2=betas[1],
-        eps=eps,
-        weight_decay=weight_decay,
-    )
+    """AdamW matching torch defaults (reference ``training/adamw.py:11``).
+
+    ``factored_second_moment=True`` swaps in the factored-nu Adam kernel
+    (see :func:`scale_by_adam_factored`); ``mu_dtype`` stores the first
+    moment at reduced precision (e.g. ``jnp.bfloat16``). Both cut
+    optimizer-state HBM traffic on bandwidth-bound steps.
+    """
+    if factored_second_moment:
+        tx = optax.chain(
+            scale_by_adam_factored(
+                b1=betas[0], b2=betas[1], eps=eps, mu_dtype=mu_dtype
+            ),
+            optax.add_decayed_weights(weight_decay),
+            optax.scale_by_learning_rate(learning_rate),
+        )
+    else:
+        tx = optax.adamw(
+            learning_rate=learning_rate,
+            b1=betas[0],
+            b2=betas[1],
+            eps=eps,
+            weight_decay=weight_decay,
+            mu_dtype=mu_dtype,
+        )
     if max_grad_norm is not None:
         tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
     return tx

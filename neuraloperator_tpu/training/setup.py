@@ -32,6 +32,16 @@ def setup(
 
     jax.config.update("jax_default_matmul_precision", matmul_precision)
 
+    # persistent compile cache: remote TPU compiles take minutes; repeat
+    # runs of the same program (scripts, bench, data generation) skip them
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", "/tmp/neuraloperator_tpu_jax_cache"
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     mesh = None
     if model_parallel_size is not None:
         mesh = mesh_lib.init(model_parallel_size=model_parallel_size)

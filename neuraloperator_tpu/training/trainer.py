@@ -212,7 +212,39 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
+        self._raw_train_step = step  # reused by the epoch-scan path
         return jax.jit(step, donate_argnums=(0, 1))
+
+    def _build_epoch_fn(self, batch_size: int, extra_keys=()):
+        """One jitted program per EPOCH: the dataset lives on the device and
+        a ``lax.scan`` iterates shuffled batches (gathered by index) through
+        the train step. On relay-attached TPUs the per-dispatch overhead
+        (~25 ms here) otherwise dominates small steps; this amortizes it
+        across the whole epoch — the TPU-native replacement for the
+        reference's host-side DataLoader loop (trainer.py:266-334).
+        """
+        step = self._raw_train_step
+
+        def epoch_fn(params, opt_state, data, perm, lr_scale):
+            nb = perm.shape[0] // batch_size
+            idx = perm[: nb * batch_size].reshape(nb, batch_size)
+
+            def body(carry, b_idx):
+                params, opt_state, s = carry
+                batch = {
+                    k: jnp.take(v, b_idx, axis=0) for k, v in data.items()
+                }
+                params, opt_state, loss = step(
+                    params, opt_state, batch, lr_scale
+                )
+                return (params, opt_state, s + loss), None
+
+            (params, opt_state, s), _ = jax.lax.scan(
+                body, (params, opt_state, jnp.float32(0.0)), idx
+            )
+            return params, opt_state, s / nb
+
+        return jax.jit(epoch_fn, donate_argnums=(0, 1))
 
     def _build_eval_step(self, eval_losses):
         data_processor = self.data_processor
@@ -259,6 +291,8 @@ class Trainer:
         resume_from_dir=None,
         rollout_steps: int = 1,
         pushforward: bool = True,
+        device_dataset: bool = False,
+        shuffle_seed: int = 0,
     ) -> Dict[str, float]:
         """Train the model.
 
@@ -281,6 +315,14 @@ class Trainer:
         predictions back, with a stop_gradient between steps when
         ``pushforward=True`` (single-step backward cost, rollout-state
         input distribution) or full BPTT when ``False``.
+
+        ``device_dataset=True`` stages the full training set in device
+        memory once and runs each epoch as a single jitted ``lax.scan``
+        program over shuffled batches — per-step dispatch overhead
+        (dominant on relay-attached TPUs) is amortized across the epoch.
+        Requires array-only dict batches and a jit-traceable
+        data_processor; single-device path (use the loader loop on a
+        mesh).
         """
         if training_loss is None:
             training_loss = LpLoss(d=2)
@@ -326,6 +368,28 @@ class Trainer:
         )
         eval_step = self._build_eval_step(eval_losses)
 
+        epoch_fn = None
+        device_data = None
+        batch_size = None
+        shuffle_rng = np.random.default_rng(shuffle_seed)
+        if device_dataset:
+            if self.mesh is not None:
+                raise ValueError(
+                    "device_dataset is a single-device path; use the "
+                    "loader loop with a mesh"
+                )
+            batch_size = len(first_batch["x"])
+            stacked: Dict[str, list] = {}
+            for batch in train_loader:
+                for k, v in batch.items():
+                    stacked.setdefault(k, []).append(np.asarray(v))
+            device_data = {
+                k: jax.device_put(np.concatenate(v))
+                for k, v in stacked.items()
+            }
+            self._n_device_samples = len(next(iter(device_data.values())))
+            epoch_fn = self._build_epoch_fn(batch_size)
+
         best_metric = float("inf")
         best_params = None
         all_metrics: Dict[str, float] = {}
@@ -336,19 +400,29 @@ class Trainer:
                 self.data_processor, "step"
             ):
                 self.data_processor.step(epoch)
-            train_err = 0.0
-            n_batches = 0
             lr_scale = jnp.asarray(
                 getattr(scheduler, "factor", 1.0), jnp.float32
             )
-            for batch in train_loader:
-                batch = self._put(batch)
-                self.params, self.opt_state, loss = train_step(
-                    self.params, self.opt_state, batch, lr_scale
+            if epoch_fn is not None:
+                perm = jnp.asarray(
+                    shuffle_rng.permutation(self._n_device_samples),
+                    jnp.int32,
                 )
-                train_err += float(loss)
-                n_batches += 1
-            train_err /= max(n_batches, 1)
+                self.params, self.opt_state, mean_loss = epoch_fn(
+                    self.params, self.opt_state, device_data, perm, lr_scale
+                )
+                train_err = float(mean_loss)
+            else:
+                train_err = 0.0
+                n_batches = 0
+                for batch in train_loader:
+                    batch = self._put(batch)
+                    self.params, self.opt_state, loss = train_step(
+                        self.params, self.opt_state, batch, lr_scale
+                    )
+                    train_err += float(loss)
+                    n_batches += 1
+                train_err /= max(n_batches, 1)
             if scheduler is not None:
                 if getattr(scheduler, "needs_metric", False):
                     scheduler.step(train_err)

@@ -77,6 +77,14 @@ def stream_split(out_dir, raw_dir, split, n_traj, res, args, seed):
 
 
 def main():
+    import jax
+
+    # remote TPU compiles are slow; cache compiled programs across runs
+    jax.config.update(
+        "jax_compilation_cache_dir", "/tmp/neuraloperator_tpu_jax_cache"
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     p = argparse.ArgumentParser()
     p.add_argument("--res", type=int, default=128)
     p.add_argument("--train-traj", type=int, default=200)

@@ -62,6 +62,11 @@ class NSConfig(ConfigBase):
     distributed: DistributedConfig = field(default_factory=DistributedConfig)
     verbose: bool = True
     eval_interval: int = 1
+    # stage the dataset in HBM and run one scan program per epoch
+    # (amortizes per-step dispatch; single-device path)
+    device_dataset: bool = False
+    save_dir: Optional[str] = None  # save best/final training state here
+    save_best: Optional[str] = None  # metric name, e.g. '128_l2'
 
 
 def main():
@@ -119,6 +124,16 @@ def main():
         optimizer,
         training_loss=h1loss if config.opt.training_loss == "h1" else l2loss,
         eval_losses={"h1": h1loss, "l2": l2loss},
+        device_dataset=config.device_dataset,
+        **(
+            {
+                "save_dir": config.save_dir,
+                "save_best": config.save_best,
+                "save_every": config.opt.n_epochs,
+            }
+            if config.save_dir
+            else {}
+        ),
     )
     if config.verbose:
         print("final:", {k: round(v, 5) for k, v in metrics.items()})

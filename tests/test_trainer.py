@@ -338,3 +338,30 @@ def test_rollout_training_single_step_y_raises():
             loader, {}, adamw(1e-3), training_loss=LpLoss(d=2),
             rollout_steps=3,
         )
+
+
+def test_device_dataset_epoch_scan_matches_loop():
+    """device_dataset=True (one scan program per epoch) trains to a loss
+    comparable to the per-batch loop and is deterministic."""
+    ds = _toy_problem()
+    l2 = LpLoss(d=2)
+
+    def run(device_dataset):
+        # device_dataset shuffles on-device via shuffle_seed; stage from an
+        # unshuffled loader so runs are reproducible
+        loader = DataLoader(ds, batch_size=8, shuffle=not device_dataset)
+        model = _small_model()
+        trainer = Trainer(model=model, n_epochs=6, eval_interval=100)
+        trainer.train(
+            loader, {}, adamw(1e-2), training_loss=l2,
+            device_dataset=device_dataset, shuffle_seed=7,
+        )
+        ev = trainer._build_eval_step({"l2": l2})
+        test_loader = DataLoader(ds, batch_size=8)
+        return trainer.evaluate(ev, test_loader, prefix="t")["t_l2"]
+
+    scan_loss = run(True)
+    loop_loss = run(False)
+    assert scan_loss < 0.85  # improved from ~1.0 at init
+    assert abs(scan_loss - loop_loss) / loop_loss < 0.15
+    assert run(True) == scan_loss  # deterministic
