@@ -35,7 +35,15 @@ def _pair_output_subscript(
 
 
 def _pairwise_complex(eq: str, a, b, compute_dtype=None):
-    """(ar, ai), (br, bi) -> (cr, ci) via four real einsums.
+    """(ar, ai), (br, bi) -> (cr, ci) via THREE real einsums (Karatsuba).
+
+        rr = Ar Br;  ii = Ai Bi;  s = (Ar+Ai)(Br+Bi)
+        Cr = rr - ii;  Ci = s - rr - ii
+
+    One fewer MXU pass than the textbook four-product form — a ~25% FLOP
+    cut on contraction-bound chains (the factorized TFNO path) for two
+    extra elementwise adds, which XLA fuses. The same trick powers the
+    Pallas dense kernel (``ops/pallas/spectral_contraction.py``).
 
     With ``compute_dtype=bfloat16`` the operands are cast down for the
     matmuls (MXU-native rate) while accumulation stays f32 via
@@ -49,9 +57,8 @@ def _pairwise_complex(eq: str, a, b, compute_dtype=None):
     kw = dict(preferred_element_type=jnp.float32)
     rr = jnp.einsum(eq, ar, br, **kw)
     ii = jnp.einsum(eq, ai, bi, **kw)
-    ri = jnp.einsum(eq, ar, bi, **kw)
-    ir = jnp.einsum(eq, ai, br, **kw)
-    return rr - ii, ri + ir
+    s = jnp.einsum(eq, ar + ai, br + bi, **kw)
+    return rr - ii, s - rr - ii
 
 
 def _single_complex(eq: str, a):

@@ -4,3 +4,7 @@ from .distributed_fft import (  # noqa: F401
     distributed_spectral_conv2d,
     halo_exchange,
 )
+from .distributed_sht import (  # noqa: F401
+    DistributedSphericalConv,
+    distributed_spherical_conv,
+)
