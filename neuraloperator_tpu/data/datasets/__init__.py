@@ -16,6 +16,10 @@ from .synthetic import (  # noqa: F401
     solve_darcy,
 )
 from .car_cfd_dataset import CarCFDDataset, load_mini_car  # noqa: F401
+from .synthetic_cfd import (  # noqa: F401
+    generate_cfd_sample,
+    load_synthetic_cfd,
+)
 from .hdf5_dataset import H5pyDataset, ZarrDataset  # noqa: F401
 from .mesh_datamodule import MeshDataModule  # noqa: F401
 from .nonlinear_poisson import (  # noqa: F401

@@ -47,6 +47,19 @@ class DefaultDataProcessor(DataProcessor):
             out = self.out_normalizer.inverse_transform(out)
         return out, sample
 
+    def feedback(self, out):
+        """Map an encoded-y prediction to the encoded-x input space.
+
+        Used by rollout (pushforward) training to feed the model its own
+        prediction as the next input when input and output use different
+        normalizers (Trainer rollout branch, trainer.py:157-167).
+        """
+        if self.out_normalizer is not None:
+            out = self.out_normalizer.inverse_transform(out)
+        if self.in_normalizer is not None:
+            out = self.in_normalizer.transform(out)
+        return out
+
 
 class IncrementalDataProcessor(DataProcessor):
     """Epoch-scheduled resolution curriculum.

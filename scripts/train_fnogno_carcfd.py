@@ -33,13 +33,25 @@ class CarConfig(ConfigBase):
     radius: float = 0.25
     max_neighbors: int = 32
     verbose: bool = True
+    # 'mini' = shipped 3-sample mini_car.pt; 'synthetic' = in-package
+    # deformed-ellipsoid potential-flow dataset at n_train/n_test scale
+    data_source: str = "mini"
+    n_train: int = 100
+    n_test: int = 20
+    eval_interval: int = 10
 
 
 def main():
     config = make_config_from_cli(CarConfig)
     setup()
-    samples = load_mini_car()
-    train, test = samples[:2], samples[2:]
+    if config.data_source == "synthetic":
+        from neuraloperator_tpu.data.datasets import load_synthetic_cfd
+
+        samples = load_synthetic_cfd(config.n_train + config.n_test)
+        train, test = samples[: config.n_train], samples[config.n_train :]
+    else:
+        samples = load_mini_car()
+        train, test = samples[:2], samples[2:]
 
     model = FNOGNO(
         in_channels=1,
@@ -86,20 +98,27 @@ def main():
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    fwd = jax.jit(lambda p, a, b, c: model.apply({"params": p}, a, b, c))
+    test_batches = [prep(s) for s in test]
+
+    def eval_test():
+        return float(np.mean([
+            float(l2(fwd(params, a, b, c).T[None], y.T[None]))
+            for a, b, c, y in test_batches
+        ]))
+
     for epoch in range(config.n_epochs):
         losses = []
         for in_p, out_p, f, y in batches:
             params, opt_state, loss = step(params, opt_state, in_p, out_p, f, y)
             losses.append(float(loss))
         if config.verbose:
-            print(f"[{epoch}] train l2 {np.mean(losses):.5f}")
+            msg = f"[{epoch}] train l2 {np.mean(losses):.5f}"
+            if (epoch + 1) % config.eval_interval == 0:
+                msg += f" test l2 {eval_test():.5f}"
+            print(msg, flush=True)
 
-    for s in test:
-        in_p, out_p, f, y = prep(s)
-        out = jax.jit(
-            lambda p, a, b, c: model.apply({"params": p}, a, b, c)
-        )(params, in_p, out_p, f)
-        print("test l2:", float(l2(out.T[None], y.T[None])))
+    print(f"final test l2: {eval_test():.5f}")
     return params
 
 

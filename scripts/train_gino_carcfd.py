@@ -35,13 +35,29 @@ class CarConfig(ConfigBase):
     radius: float = 0.25
     max_neighbors: int = 32
     verbose: bool = True
+    # 'mini' = the reference's shipped 3-sample mini_car.pt;
+    # 'synthetic' = in-package deformed-ellipsoid potential-flow dataset
+    # (data/datasets/synthetic_cfd.py) at n_train/n_test scale
+    data_source: str = "mini"
+    n_train: int = 100
+    n_test: int = 20
+    eval_interval: int = 10
+
+
+def _load_samples(config):
+    if config.data_source == "synthetic":
+        from neuraloperator_tpu.data.datasets import load_synthetic_cfd
+
+        samples = load_synthetic_cfd(config.n_train + config.n_test)
+        return samples[: config.n_train], samples[config.n_train :]
+    samples = load_mini_car()
+    return samples[:2], samples[2:]
 
 
 def main():
     config = make_config_from_cli(CarConfig)
     setup()
-    samples = load_mini_car()
-    train, test = samples[:2], samples[2:]
+    train, test = _load_samples(config)
 
     n = config.latent_n
     axes = [np.linspace(0, 1, n)] * 3
@@ -96,24 +112,33 @@ def main():
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    fwd = jax.jit(
+        lambda p, a, b, c, d: model.apply({"params": p}, a, b, c, d)
+    )
+    test_batches = [prep(s) for s in test]
+
+    def eval_test():
+        errs = []
+        for geom, lq, oq, x, y in test_batches:
+            out = fwd(params, geom, lq, oq, x)
+            errs.append(float(
+                l2(jnp.transpose(out, (0, 2, 1)), jnp.transpose(y, (0, 2, 1)))
+            ))
+        return float(np.mean(errs))
+
     for epoch in range(config.n_epochs):
         losses = []
         for geom, lq, oq, x, y in batches:
             params, opt_state, loss = step(params, opt_state, geom, lq, oq, x, y)
             losses.append(float(loss))
         if config.verbose:
-            print(f"[{epoch}] train l2 {np.mean(losses):.5f}")
+            msg = f"[{epoch}] train l2 {np.mean(losses):.5f}"
+            if (epoch + 1) % config.eval_interval == 0:
+                msg += f" test l2 {eval_test():.5f}"
+            print(msg, flush=True)
 
-    # test
-    for s in test:
-        geom, lq, oq, x, y = prep(s)
-        out = jax.jit(
-            lambda p, a, b, c, d: model.apply({"params": p}, a, b, c, d)
-        )(params, geom, lq, oq, x)
-        err = float(
-            l2(jnp.transpose(out, (0, 2, 1)), jnp.transpose(y, (0, 2, 1)))
-        )
-        print("test l2:", err)
+    final = eval_test()
+    print(f"final test l2: {final:.5f}")
     return params
 
 

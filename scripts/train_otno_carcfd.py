@@ -33,13 +33,25 @@ class OTConfig(ConfigBase):
     latent_size: int = 24
     reg: float = 5e-3
     verbose: bool = True
+    # 'mini' = shipped 3-sample mini_car.pt; 'synthetic' = in-package
+    # deformed-ellipsoid potential-flow dataset at n_train/n_test scale
+    data_source: str = "mini"
+    n_train: int = 100
+    n_test: int = 20
+    eval_interval: int = 10
 
 
 def main():
     config = make_config_from_cli(OTConfig)
     setup()
-    samples = load_mini_car()
-    train, test = samples[:2], samples[2:]
+    if config.data_source == "synthetic":
+        from neuraloperator_tpu.data.datasets import load_synthetic_cfd
+
+        samples = load_synthetic_cfd(config.n_train + config.n_test)
+        train, test = samples[: config.n_train], samples[config.n_train :]
+    else:
+        samples = load_mini_car()
+        train, test = samples[:2], samples[2:]
 
     def prep(sample):
         verts = sample["vertices"].astype(np.float32)
@@ -81,20 +93,27 @@ def main():
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    fwd = jax.jit(lambda p, a, b: model.apply({"params": p}, a, b))
+    test_batches = [prep(s) for s in test]
+
+    def eval_test():
+        return float(np.mean([
+            float(l2(fwd(params, x, ind)[None], y[None]))
+            for x, ind, y in test_batches
+        ]))
+
     for epoch in range(config.n_epochs):
         losses = []
         for x, ind_dec, y in batches:
             params, opt_state, loss = step(params, opt_state, x, ind_dec, y)
             losses.append(float(loss))
         if config.verbose:
-            print(f"[{epoch}] train l2 {np.mean(losses):.5f}")
+            msg = f"[{epoch}] train l2 {np.mean(losses):.5f}"
+            if (epoch + 1) % config.eval_interval == 0:
+                msg += f" test l2 {eval_test():.5f}"
+            print(msg, flush=True)
 
-    for s in test:
-        x, ind_dec, y = prep(s)
-        out = jax.jit(
-            lambda p, a, b: model.apply({"params": p}, a, b)
-        )(params, x, ind_dec)
-        print("test l2:", float(l2(out[None], y[None])))
+    print(f"final test l2: {eval_test():.5f}")
     return params
 
 
