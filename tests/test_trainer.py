@@ -365,3 +365,53 @@ def test_device_dataset_epoch_scan_matches_loop():
     assert scan_loss < 0.85  # improved from ~1.0 at init
     assert abs(scan_loss - loop_loss) / loop_loss < 0.15
     assert run(True) == scan_loss  # deterministic
+
+
+def test_rollout_training_feedback_bridges_normalizers():
+    """With distinct in/out normalizers, rollout training feeds predictions
+    back through DefaultDataProcessor.feedback (decode y-space, encode
+    x-space); training converges on an identity-dynamics trajectory."""
+    import jax.numpy as jnp
+
+    from neuraloperator_tpu.data.transforms import (
+        DefaultDataProcessor, UnitGaussianNormalizer,
+    )
+
+    horizon = 3
+    rng = np.random.RandomState(3)
+    n, res = 32, 8
+    base = rng.randn(n, 1, res, res).astype("float32")
+    # constant-in-time trajectories with different x/y affine frames
+    x = 2.0 * base + 1.0
+    y = np.repeat((0.5 * base - 2.0)[:, None], horizon, axis=1)
+    ds = TensorDataset(x=x, y=y)
+    loader = DataLoader(ds, batch_size=8, shuffle=True)
+
+    in_norm = UnitGaussianNormalizer()
+    in_norm.fit(x)
+    out_norm = UnitGaussianNormalizer()
+    out_norm.fit(y[:, 0])
+    dp = DefaultDataProcessor(in_normalizer=in_norm, out_normalizer=out_norm)
+
+    # feedback maps an encoded-y value to the encoded-x frame exactly
+    probe = jnp.asarray(out_norm.transform(0.5 * base[:2] - 2.0))
+    fed = np.asarray(dp.feedback(probe))
+    np.testing.assert_allclose(
+        fed, np.asarray(in_norm.transform(2.0 * base[:2] + 1.0)) * 0 +
+        np.asarray(in_norm.transform(0.5 * base[:2] - 2.0)),
+        rtol=1e-5, atol=1e-5,
+    )
+
+    def run(n_epochs, lr):
+        trainer = Trainer(
+            model=_small_model(), n_epochs=n_epochs, eval_interval=100,
+            data_processor=dp,
+        )
+        return trainer.train(
+            loader, {}, adamw(lr), training_loss=LpLoss(d=2),
+            rollout_steps=horizon, pushforward=True,
+        )["train_err"]
+
+    base = run(1, 0.0)
+    trained = run(12, 5e-3)
+    assert trained < 0.6 * base  # learns the map through feedback
