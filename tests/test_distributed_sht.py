@@ -111,3 +111,39 @@ def test_module_rejects_unsupported_config():
         ).init(
             jax.random.PRNGKey(0), jnp.zeros((1, 2, 8, 8), jnp.float32)
         )
+
+
+def test_sfno_with_distributed_conv_module():
+    """SFNO(conv_module=DistributedSphericalConv) runs forward + grad on a
+    4-way model-parallel mesh (latitude sharded through every layer)."""
+    import jax.numpy as jnp
+
+    from neuraloperator_tpu.models import SFNO
+
+    mesh = mesh_lib.init(model_parallel_size=4)
+    model = SFNO(
+        n_modes=(8, 8), in_channels=1, out_channels=1,
+        hidden_channels=8, n_layers=2,
+        conv_module=DistributedSphericalConv,
+    )
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(2, 1, 16, 16), jnp.float32
+    )
+    with mesh_lib.use_mesh(mesh):
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), x)["params"]
+        xs = jax.device_put(
+            x, NamedSharding(mesh, P(None, None, "model", None))
+        )
+        y = jax.jit(lambda p, x: model.apply({"params": p}, x))(params, xs)
+        g = jax.jit(
+            jax.grad(
+                lambda p, x: jnp.sum(model.apply({"params": p}, x) ** 2)
+            )
+        )(params, xs)
+    mesh_lib.init(model_parallel_size=1)
+    assert y.shape == x.shape
+    assert np.isfinite(np.asarray(y)).all()
+    assert all(
+        np.isfinite(np.asarray(l)).all()
+        for l in jax.tree_util.tree_leaves(g)
+    )
