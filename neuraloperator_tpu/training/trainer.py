@@ -215,7 +215,7 @@ class Trainer:
         self._raw_train_step = step  # reused by the epoch-scan path
         return jax.jit(step, donate_argnums=(0, 1))
 
-    def _build_epoch_fn(self, batch_size: int, extra_keys=()):
+    def _build_epoch_fn(self, batch_size: int):
         """One jitted program per EPOCH: the dataset lives on the device and
         a ``lax.scan`` iterates shuffled batches (gathered by index) through
         the train step. On relay-attached TPUs the per-dispatch overhead
