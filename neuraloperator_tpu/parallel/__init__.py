@@ -2,6 +2,7 @@ from . import comm, mesh  # noqa: F401
 from .distributed_fft import (  # noqa: F401
     DistributedSpectralConv2d,
     distributed_spectral_conv2d,
+    distributed_spectral_conv3d,
     halo_exchange,
 )
 from .distributed_sht import (  # noqa: F401

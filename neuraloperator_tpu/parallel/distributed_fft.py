@@ -312,6 +312,166 @@ class DistributedSpectralConv2d(_nn.Module):
         return x
 
 
+def _fft_axis(re, im, axis, inverse=False):
+    """Complex FFT along ``axis`` via a trailing-axis transpose (restricted
+    TPU runtimes only accept FFTs over trailing contiguous axes)."""
+    z = jax.lax.complex(
+        jnp.moveaxis(re, axis, -1), jnp.moveaxis(im, axis, -1)
+    )
+    zf = (jnp.fft.ifft if inverse else jnp.fft.fft)(
+        z, axis=-1, norm="forward"
+    )
+    return (
+        jnp.moveaxis(jnp.real(zf), -1, axis),
+        jnp.moveaxis(jnp.imag(zf), -1, axis),
+    )
+
+
+def _gather_center(a, axis, kept, size):
+    """Centered mode gather along a full-spectrum axis (corner concat)."""
+    neg = kept // 2
+    pos = kept - neg
+    idx_hi = [slice(None)] * a.ndim
+    idx_hi[axis] = slice(size - neg, size)
+    idx_lo = [slice(None)] * a.ndim
+    idx_lo[axis] = slice(0, pos)
+    return jnp.concatenate([a[tuple(idx_hi)], a[tuple(idx_lo)]], axis=axis)
+
+
+def _scatter_center(a, axis, kept, size):
+    """Inverse of :func:`_gather_center`: zero-fill the dropped modes."""
+    neg = kept // 2
+    idx_hi = [slice(None)] * a.ndim
+    idx_hi[axis] = slice(neg, kept)
+    idx_lo = [slice(None)] * a.ndim
+    idx_lo[axis] = slice(0, neg)
+    mid_shape = list(a.shape)
+    mid_shape[axis] = size - kept
+    return jnp.concatenate(
+        [a[tuple(idx_hi)], jnp.zeros(mid_shape, a.dtype), a[tuple(idx_lo)]],
+        axis=axis,
+    )
+
+
+def _local_spectral_conv3d(x_local, w_re, w_im, *, n_modes, depth, height,
+                           width, axis_name):
+    """Per-device body under shard_map for the 3-D sharded FFT.
+
+    x_local: (b, c, d, h_local, w) — height (axis 3) sharded.
+    w_re/w_im: (i, o, kd, kh, kw_pad) — width modes sharded.
+    """
+    P_sz = jax.lax.psum(1, axis_name)
+    kd, kh, kw = n_modes
+    kw_pad = pad_to_multiple(kw, P_sz)
+    half_w = width // 2 + 1
+
+    # 1. local rfft along the full width axis, truncate BEFORE any comms
+    xf = jnp.fft.rfft(x_local.astype(jnp.float32), axis=-1, norm="forward")
+    re, im = jnp.real(xf), jnp.imag(xf)
+
+    def trunc_w(a):
+        a = a[..., :kw]
+        return jnp.pad(
+            a, [(0, 0)] * (a.ndim - 1) + [(0, kw_pad - kw)]
+        )
+
+    re, im = trunc_w(re), trunc_w(im)
+
+    # 2. local fft + centered truncation along the (unsharded) depth axis
+    re, im = _fft_axis(re, im, 2)
+    re = _gather_center(re, 2, kd, depth)
+    im = _gather_center(im, 2, kd, depth)
+
+    # 3. all_to_all: gather height, shard the kept width modes
+    def a2a(a, split_axis, concat_axis):
+        return jax.lax.all_to_all(
+            a, axis_name, split_axis=split_axis, concat_axis=concat_axis,
+            tiled=True,
+        )
+
+    re, im = a2a(re, 4, 3), a2a(im, 4, 3)
+
+    # 4. fft + centered gather along the (now local, full) height axis
+    re, im = _fft_axis(re, im, 3)
+    re = _gather_center(re, 3, kh, height)
+    im = _gather_center(im, 3, kh, height)
+
+    # 5. contraction with this device's width-mode shard of the weight
+    out_re, out_im = complex_einsum(
+        "bixyz,ioxyz->boxyz", (re, im), (w_re, w_im), return_parts=True
+    )
+
+    # 6. inverse: scatter height modes, ifft height
+    out_re = _scatter_center(out_re, 3, kh, height)
+    out_im = _scatter_center(out_im, 3, kh, height)
+    out_re, out_im = _fft_axis(out_re, out_im, 3, inverse=True)
+
+    # 7. all_to_all back: shard height, gather width modes
+    out_re, out_im = a2a(out_re, 3, 4), a2a(out_im, 3, 4)
+
+    # 8. scatter depth modes, ifft depth
+    out_re = _scatter_center(out_re, 2, kd, depth)
+    out_im = _scatter_center(out_im, 2, kd, depth)
+    out_re, out_im = _fft_axis(out_re, out_im, 2, inverse=True)
+
+    # 9. zero-pad width spectrum, irfft width
+    out_re = out_re[..., :kw]
+    out_im = out_im[..., :kw]
+    pad = [(0, 0)] * 4 + [(0, half_w - kw)]
+    spec = jax.lax.complex(jnp.pad(out_re, pad), jnp.pad(out_im, pad))
+    return jnp.fft.irfft(spec, n=width, axis=-1, norm="forward")
+
+
+def distributed_spectral_conv3d(
+    x: jnp.ndarray,
+    weight: jnp.ndarray,
+    n_modes: Tuple[int, int, int],
+    mesh: Mesh,
+    axis_name: str = "model",
+) -> jnp.ndarray:
+    """Sharded-FFT 3-D spectral convolution over a device mesh.
+
+    x: (b, c, d, h, w) with h shardable over ``axis_name``;
+    weight: complex (in, out, kd, kh, kw) with centered kd/kh mode order
+    and kw the unpadded rfft-halved width mode count. Returns
+    (b, out, d, h, w), h sharded. The FNO-3D (e.g. MHD64) counterpart of
+    :func:`distributed_spectral_conv2d` — depth and width transforms are
+    local, only the height axis crosses ICI, and both the depth and width
+    spectra are truncated BEFORE the all_to_all.
+    """
+    P_sz = mesh.shape[axis_name]
+    b, c, depth, height, width = x.shape
+    kd, kh, kw = n_modes
+    assert height % P_sz == 0, "height must divide the model axis size"
+    kw_pad = pad_to_multiple(kw, P_sz)
+
+    w_re = jnp.real(weight)
+    w_im = jnp.imag(weight)
+    pad = [(0, 0)] * 4 + [(0, kw_pad - kw)]
+    w_re, w_im = jnp.pad(w_re, pad), jnp.pad(w_im, pad)
+
+    body = partial(
+        _local_spectral_conv3d,
+        n_modes=(kd, kh, kw),
+        depth=depth,
+        height=height,
+        width=width,
+        axis_name=axis_name,
+    )
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(None, None, None, axis_name, None),  # x: height sharded
+            P(None, None, None, None, axis_name),  # weight: kw sharded
+            P(None, None, None, None, axis_name),
+        ),
+        out_specs=P(None, None, None, axis_name, None),
+        check_vma=False,  # same weight-cotangent situation as the 2-D path
+    )
+    return fn(x, w_re, w_im)
+
+
 def halo_exchange(x: jnp.ndarray, halo: int, axis_name: str = "model"):
     """Exchange boundary slices with ring neighbors via ppermute.
 

@@ -204,3 +204,86 @@ def test_fno_with_distributed_conv_trains_on_mesh():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
         )
+
+
+def _single_device_reference_3d(x, w, kd, kh, kw):
+    spec = FactorizationSpec("dense", tuple(w.shape))
+    return spectral_conv_forward(
+        x,
+        spec,
+        {"weight": w},
+        bias=None,
+        n_modes=[kd, kh, kw],
+        max_n_modes=[kd, kh, kw],
+        complex_data=False,
+        separable=False,
+        implementation="reconstructed",
+        fft_norm="forward",
+        fno_block_precision="full",
+        enforce_hermitian_symmetry=False,
+        resolution_scaling_factor=None,
+        output_shape=None,
+        out_channels=w.shape[1],
+    )
+
+
+@pytest.mark.parametrize("kd,kh,kw", [(4, 4, 3), (5, 6, 4)])
+def test_distributed_3d_matches_single_device(kd, kh, kw):
+    from neuraloperator_tpu.parallel.distributed_fft import (
+        distributed_spectral_conv3d,
+    )
+
+    mesh = mesh_lib.init(model_parallel_size=4)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 2, 8, 8, 10), jnp.float32)
+    w_np = rng.randn(2, 3, kd, kh, kw) + 1j * rng.randn(2, 3, kd, kh, kw)
+
+    def dist(x, w_st):
+        w = jax.lax.complex(w_st[0], w_st[1])
+        return distributed_spectral_conv3d(
+            x, w, (kd, kh, kw), mesh, axis_name="model"
+        )
+
+    w_st = jnp.asarray(np.stack([w_np.real, w_np.imag]), jnp.float32)
+    with mesh:
+        xs = jax.device_put(
+            x, NamedSharding(mesh, P(None, None, None, "model", None))
+        )
+        out = jax.jit(dist)(xs, w_st)
+    ref = _single_device_reference_3d(
+        x, jnp.asarray(w_np, jnp.complex64), kd, kh, kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=3e-4, atol=3e-5
+    )
+
+
+def test_distributed_3d_gradients_flow():
+    from neuraloperator_tpu.parallel.distributed_fft import (
+        distributed_spectral_conv3d,
+    )
+
+    mesh = mesh_lib.init(model_parallel_size=4)
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, 2, 4, 8, 6), jnp.float32)
+    w_st = jnp.asarray(rng.randn(2, 2, 2, 3, 4, 2), jnp.float32)
+
+    def loss(w_st, x):
+        w = jax.lax.complex(w_st[0], w_st[1])
+        out = distributed_spectral_conv3d(x, w, (3, 4, 2), mesh, "model")
+        return jnp.sum(out ** 2)
+
+    def loss_ref(w_st, x):
+        w = jax.lax.complex(w_st[0], w_st[1])
+        out = _single_device_reference_3d(x, w, 3, 4, 2)
+        return jnp.sum(out ** 2)
+
+    with mesh:
+        xs = jax.device_put(
+            x, NamedSharding(mesh, P(None, None, None, "model", None))
+        )
+        g = jax.jit(jax.grad(loss))(w_st, xs)
+    g_ref = jax.grad(loss_ref)(w_st, x)
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(g_ref), rtol=2e-3, atol=2e-3
+    )
