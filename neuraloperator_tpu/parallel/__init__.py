@@ -1,6 +1,7 @@
 from . import comm, mesh  # noqa: F401
 from .distributed_fft import (  # noqa: F401
     DistributedSpectralConv2d,
+    DistributedSpectralConv3d,
     distributed_spectral_conv2d,
     distributed_spectral_conv3d,
     halo_exchange,

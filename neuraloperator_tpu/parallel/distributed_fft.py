@@ -312,6 +312,126 @@ class DistributedSpectralConv2d(_nn.Module):
         return x
 
 
+class DistributedSpectralConv3d(_nn.Module):
+    """Drop-in 3-D ``conv_module`` running the sharded-FFT path.
+
+    Same parameter layout as a dense 3-D ``SpectralConv`` (``w_weight``
+    split-real storage + ``bias``); the forward is
+    :func:`distributed_spectral_conv3d` on the current mesh (height axis
+    sharded over 'model'), with a params-compatible single-device
+    fallback. Dense real-input configuration only, mirroring
+    :class:`DistributedSpectralConv2d`.
+    """
+
+    in_channels: int
+    out_channels: int
+    n_modes: Tuple[int, ...]
+    max_n_modes: Optional[Tuple[int, ...]] = None
+    use_bias: bool = True
+    separable: bool = False
+    resolution_scaling_factor: Optional[float] = None
+    fno_block_precision: str = "full"
+    rank: float = 1.0
+    factorization: Optional[str] = None
+    implementation: str = "reconstructed"
+    fixed_rank_modes: bool = False
+    complex_data: bool = False
+    init_std: str = "auto"
+    fft_norm: str = "forward"
+
+    @property
+    def kept_modes(self) -> Tuple[int, int, int]:
+        m1, m2, m3 = self.n_modes
+        return int(m1), int(m2), int(m3) // 2 + 1
+
+    def _check(self):
+        if len(self.n_modes) != 3:
+            raise ValueError("DistributedSpectralConv3d is 3-D only")
+        bad = {
+            "separable": self.separable,
+            "factorization": self.factorization not in (None, "dense"),
+            "complex_data": self.complex_data,
+            "max_n_modes": self.max_n_modes is not None
+            and tuple(self.max_n_modes) != tuple(self.n_modes),
+            "resolution_scaling_factor":
+                self.resolution_scaling_factor is not None,
+        }
+        unsupported = [k for k, v in bad.items() if v]
+        if unsupported:
+            raise ValueError(
+                "DistributedSpectralConv3d does not support: "
+                + ", ".join(unsupported)
+            )
+
+    @_nn.compact
+    def __call__(self, x, output_shape=None, n_modes=None):
+        from ..layers.spectral_convolution import spectral_conv_forward
+        from ..tensor.factorized import FactorizationSpec
+        from . import mesh as mesh_lib
+
+        self._check()
+        if output_shape is not None or n_modes is not None:
+            raise ValueError(
+                "DistributedSpectralConv3d does not support per-call "
+                "output_shape/n_modes overrides"
+            )
+        kd, kh, kw = self.kept_modes
+        std = (2 / (self.in_channels + self.out_channels)) ** 0.5
+        w_st = self.param(
+            "w_weight",
+            lambda key: std
+            * jax.random.normal(
+                key,
+                (2, self.in_channels, self.out_channels, kd, kh, kw),
+            ),
+        )
+        bias = None
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                lambda key: std
+                * jax.random.normal(key, (self.out_channels, 1, 1, 1)),
+            )
+
+        mesh = mesh_lib.get_mesh()
+        if mesh is not None and mesh.shape.get(mesh_lib.MODEL_AXIS, 1) > 1:
+            w = jax.lax.complex(
+                w_st[0].astype(jnp.float32), w_st[1].astype(jnp.float32)
+            )
+            y = distributed_spectral_conv3d(
+                x, w, (kd, kh, kw), mesh, axis_name=mesh_lib.MODEL_AXIS
+            )
+        else:
+            spec = FactorizationSpec(
+                "dense",
+                (self.in_channels, self.out_channels, kd, kh, kw),
+            )
+            y = spectral_conv_forward(
+                x,
+                spec,
+                {"weight": jax.lax.complex(w_st[0], w_st[1])},
+                bias=None,
+                n_modes=[kd, kh, kw],
+                max_n_modes=[kd, kh, kw],
+                complex_data=False,
+                separable=False,
+                implementation="reconstructed",
+                fft_norm=self.fft_norm,
+                fno_block_precision=self.fno_block_precision,
+                enforce_hermitian_symmetry=False,
+                resolution_scaling_factor=None,
+                output_shape=None,
+                out_channels=self.out_channels,
+            )
+        if bias is not None:
+            y = y + bias[None]
+        return y
+
+    def transform(self, x, output_shape=None):
+        """Skip-branch resolution matching: identity (no scaling support)."""
+        return x
+
+
 def _fft_axis(re, im, axis, inverse=False):
     """Complex FFT along ``axis`` via a trailing-axis transpose (restricted
     TPU runtimes only accept FFTs over trailing contiguous axes)."""

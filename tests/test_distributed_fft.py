@@ -287,3 +287,35 @@ def test_distributed_3d_gradients_flow():
     np.testing.assert_allclose(
         np.asarray(g), np.asarray(g_ref), rtol=2e-3, atol=2e-3
     )
+
+
+def test_fno3d_with_distributed_conv_module():
+    """FNO-3D(conv_module=DistributedSpectralConv3d) on a mesh matches the
+    same params through the single-device fallback."""
+    from neuraloperator_tpu.models import FNO
+    from neuraloperator_tpu.parallel import DistributedSpectralConv3d
+
+    model = FNO(
+        n_modes=(4, 4, 4), in_channels=1, out_channels=1,
+        hidden_channels=4, n_layers=2,
+        conv_module=DistributedSpectralConv3d,
+    )
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(2, 1, 8, 8, 8), jnp.float32
+    )
+    mesh_lib.init(model_parallel_size=1)  # local fallback
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    y_local = model.apply({"params": params}, x)
+
+    mesh = mesh_lib.init(model_parallel_size=4)
+    with mesh_lib.use_mesh(mesh):
+        xs = jax.device_put(
+            x, NamedSharding(mesh, P(None, None, None, "model", None))
+        )
+        y_dist = jax.jit(
+            lambda p, x: model.apply({"params": p}, x)
+        )(params, xs)
+    mesh_lib.init(model_parallel_size=1)
+    np.testing.assert_allclose(
+        np.asarray(y_dist), np.asarray(y_local), rtol=2e-4, atol=2e-4
+    )
