@@ -81,11 +81,16 @@ def main():
     xi = jnp.asarray(rng.randn(B, CIN, M1, M2), jnp.float32)
 
     spec = resolve_spec("tucker", (CIN, COUT, M1, M2), args.rank, None)
-    params = init_factors(jax.random.PRNGKey(0), spec, 0.02)
-    params = {
-        k: (jnp.real(v), jnp.imag(v)) if jnp.iscomplexobj(v) else v
-        for k, v in params.items()
-    }
+
+    # create factors and reconstruct the dense weight INSIDE jit: eager
+    # complex arrays abort on restricted TPU runtimes (CLAUDE.md pattern 1)
+    @jax.jit
+    def make_params(key):
+        p = init_factors(key, spec, 0.02)
+        return {k: (jnp.real(v), jnp.imag(v)) for k, v in p.items()}
+
+    params = jax.device_get(make_params(jax.random.PRNGKey(0)))
+    params = {k: tuple(jnp.asarray(x) for x in v) for k, v in params.items()}
     core_shape = params["core"][0].shape
     n_fact_params = sum(
         int(np.prod(v[0].shape)) for v in params.values()
@@ -97,11 +102,14 @@ def main():
         flush=True,
     )
 
-    w_dense = to_tensor(spec, {
-        k: jax.lax.complex(*v) if isinstance(v, tuple) else v
-        for k, v in params.items()
-    })
-    wr, wi = jnp.real(w_dense), jnp.imag(w_dense)
+    @jax.jit
+    def make_dense(p):
+        w = to_tensor(
+            spec, {k: jax.lax.complex(*v) for k, v in p.items()}
+        )
+        return jnp.real(w), jnp.imag(w)
+
+    wr, wi = make_dense(params)
 
     results = {}
 
