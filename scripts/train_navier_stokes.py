@@ -67,6 +67,8 @@ class NSConfig(ConfigBase):
     device_dataset: bool = False
     save_dir: Optional[str] = None  # save best/final training state here
     save_best: Optional[str] = None  # metric name, e.g. '128_l2'
+    save_every: Optional[int] = None  # periodic save interval (epochs)
+    resume_from_dir: Optional[str] = None  # resume params/opt/epoch from here
 
 
 def main():
@@ -125,11 +127,12 @@ def main():
         training_loss=h1loss if config.opt.training_loss == "h1" else l2loss,
         eval_losses={"h1": h1loss, "l2": l2loss},
         device_dataset=config.device_dataset,
+        resume_from_dir=config.resume_from_dir,
         **(
             {
                 "save_dir": config.save_dir,
                 "save_best": config.save_best,
-                "save_every": config.opt.n_epochs,
+                "save_every": config.save_every or config.opt.n_epochs,
             }
             if config.save_dir
             else {}
