@@ -397,8 +397,7 @@ def test_rollout_training_feedback_bridges_normalizers():
     probe = jnp.asarray(out_norm.transform(0.5 * base[:2] - 2.0))
     fed = np.asarray(dp.feedback(probe))
     np.testing.assert_allclose(
-        fed, np.asarray(in_norm.transform(2.0 * base[:2] + 1.0)) * 0 +
-        np.asarray(in_norm.transform(0.5 * base[:2] - 2.0)),
+        fed, np.asarray(in_norm.transform(0.5 * base[:2] - 2.0)),
         rtol=1e-5, atol=1e-5,
     )
 
