@@ -230,9 +230,27 @@ def main():
         mm_ceiling = measure_matmul_ceiling()
         hbm_gbps = measure_hbm_bandwidth()
 
+    # exact executed FLOPs/bytes of ONE step from XLA cost analysis —
+    # the rigorous roofline numerator (the analytic count assumes FFTs;
+    # the truncated-DFT formulation trades more MXU FLOPs for less
+    # bandwidth, so executed > analytic by design)
+    from neuraloperator_tpu.utils import count_flops
+
+    xla_cost = count_flops(train_step, params, opt_state, x, y)
+    xla_flops = xla_cost["flops"]
+    xla_bytes = xla_cost["bytes_accessed"]
+
     # roofline floors
     flops = analytic_step_flops(BATCH)
     dot_floor_ms = flops / (mm_ceiling * 1e12) * 1e3
+    xla_compute_floor_ms = (
+        xla_flops / (mm_ceiling * 1e12) * 1e3
+        if np.isfinite(xla_flops) else float("nan")
+    )
+    xla_bw_floor_ms = (
+        xla_bytes / (hbm_gbps * 1e9) * 1e3
+        if np.isfinite(xla_bytes) else float("nan")
+    )
     # optimizer: params ~ 69.3M; per step reads params f32 + mu bf16 +
     # factored nu (~negligible) + grads bf16->f32, writes params + mu
     n_params = sum(
@@ -250,6 +268,10 @@ def main():
         "matmul_ceiling_tflops_bf16": round(mm_ceiling, 2),
         "hbm_copy_bandwidth_gbps": round(hbm_gbps, 1),
         "analytic_step_gflops": round(flops / 1e9, 1),
+        "xla_executed_gflops": round(xla_flops / 1e9, 1),
+        "xla_bytes_accessed_gb": round(xla_bytes / 1e9, 3),
+        "floor_ms_xla_compute": round(xla_compute_floor_ms, 3),
+        "floor_ms_xla_bandwidth": round(xla_bw_floor_ms, 3),
         "floor_ms_matmul_work": round(dot_floor_ms, 3),
         "floor_ms_optimizer_state": round(opt_floor_ms, 3),
         "floor_ms_block_activations_rough": round(act_floor_ms, 3),
