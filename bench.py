@@ -241,6 +241,26 @@ def main():
         float(loss)
         device_steps_per_sec = k_inner / (time.perf_counter() - t0)
 
+        # forward-only (serving) latency: jitted inference chained inside
+        # one program, batch as configured
+        @jax.jit
+        def infer_chain(params, xx):
+            def body(_, cur):
+                out = model.apply(
+                    {"params": jax.tree_util.tree_map(to_half, params)},
+                    to_half(cur),
+                )
+                return jnp.broadcast_to(
+                    out.astype(jnp.float32), cur.shape
+                ) * 1e-3 + cur
+
+            return jax.lax.fori_loop(0, k_inner, body, xx)
+
+        float(infer_chain(params, x)[0, 0, 0, 0])  # compile + barrier
+        t0 = time.perf_counter()
+        float(infer_chain(params, x)[0, 0, 0, 0])
+        infer_ms = (time.perf_counter() - t0) / k_inner * 1e3
+
         conv_ms = bench_spectral_conv(args.block_precision)
         ceiling = measure_matmul_ceiling()
         flops = analytic_step_flops(batch)
@@ -248,6 +268,8 @@ def main():
         result.update(
             {
                 "device_steps_per_sec": round(device_steps_per_sec, 3),
+                "infer_ms_batch": round(infer_ms, 3),
+                "infer_samples_per_sec": round(batch / infer_ms * 1e3, 1),
                 "spectral_conv_fwdbwd_ms_64modes": round(conv_ms, 3),
                 "step_gflops_analytic": round(flops / 1e9, 1),
                 "achieved_tflops": round(achieved, 3),
