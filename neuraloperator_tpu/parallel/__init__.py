@@ -6,6 +6,12 @@ from .distributed_fft import (  # noqa: F401
     distributed_spectral_conv3d,
     halo_exchange,
 )
+from .distributed_gno import (  # noqa: F401
+    point_sharding,
+    shard_gino_inputs,
+    shard_neighbors,
+    shard_points,
+)
 from .distributed_sht import (  # noqa: F401
     DistributedSphericalConv,
     distributed_spherical_conv,

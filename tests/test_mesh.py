@@ -329,3 +329,86 @@ def test_remaining_families_on_mesh_match_single_device(family):
     np.testing.assert_allclose(
         np.asarray(ref), np.asarray(out), rtol=5e-4, atol=5e-5
     )
+
+
+def test_gino_point_sharded_matches_single_device():
+    """Point-axis spatial model parallelism (parallel/distributed_gno.py):
+    latent grid + output queries + their padded neighborhoods sharded over
+    'model' must reproduce the replicated forward and its gradients."""
+    from neuraloperator_tpu.layers.neighbor_search import (
+        padded_neighbor_search,
+    )
+    from neuraloperator_tpu.models import GINO
+    from neuraloperator_tpu.parallel.distributed_gno import (
+        shard_gino_inputs,
+    )
+
+    rng = np.random.RandomState(3)
+    n_in, n_out, d = 40, 16, 3
+    input_geom = jnp.asarray(rng.rand(1, n_in, d), jnp.float32)
+    axes = [jnp.linspace(0, 1, 4)] * d
+    latent_queries = jnp.stack(
+        jnp.meshgrid(*axes, indexing="ij"), axis=-1
+    )[None]
+    output_queries = jnp.asarray(rng.rand(1, n_out, d), jnp.float32)
+    x = jnp.asarray(rng.rand(2, n_in, 4), jnp.float32)
+    lq_flat = latent_queries.reshape(-1, d)
+    in_nbrs = padded_neighbor_search(input_geom[0], lq_flat, 0.4, 16)
+    out_nbrs = padded_neighbor_search(lq_flat, output_queries[0], 0.4, 16)
+
+    model = GINO(
+        in_channels=4, out_channels=2, gno_coord_dim=d,
+        in_gno_radius=0.4, out_gno_radius=0.4, fno_in_channels=4,
+        fno_n_modes=(4, 4, 4), fno_hidden_channels=8, fno_n_layers=1,
+        gno_max_neighbors=16,
+        in_gno_channel_mlp_hidden_layers=(16,),
+        out_gno_channel_mlp_hidden_layers=(16,),
+    )
+    args = (input_geom, latent_queries, output_queries, x)
+    kw = {"in_neighbors": in_nbrs, "out_neighbors": out_nbrs}
+    params = model.init(jax.random.PRNGKey(0), *args, **kw)["params"]
+
+    def loss(p, lq, oq, inn, onn):
+        out = model.apply(
+            {"params": p}, input_geom, lq, oq, x,
+            in_neighbors=inn, out_neighbors=onn,
+        )
+        return jnp.sum(out ** 2), out
+
+    (ref_loss, ref_out), ref_g = jax.value_and_grad(loss, has_aux=True)(
+        params, latent_queries, output_queries, in_nbrs, out_nbrs
+    )
+
+    mesh = mesh_lib.init(model_parallel_size=2)
+    with mesh:
+        lq_s, oq_s, inn_s, onn_s = shard_gino_inputs(
+            mesh,
+            latent_queries=latent_queries,
+            output_queries=output_queries,
+            in_neighbors=in_nbrs,
+            out_neighbors=out_nbrs,
+        )
+        (s_loss, s_out), s_g = jax.jit(
+            jax.value_and_grad(loss, has_aux=True)
+        )(params, lq_s, oq_s, inn_s, onn_s)
+    np.testing.assert_allclose(
+        np.asarray(ref_out), np.asarray(s_out), rtol=2e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(ref_loss), float(s_loss), rtol=1e-4
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ref_g), jax.tree_util.tree_leaves(s_g)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-4
+        )
+
+
+def test_shard_points_divisibility_error():
+    from neuraloperator_tpu.parallel.distributed_gno import shard_points
+
+    mesh = mesh_lib.init(model_parallel_size=2)
+    pts = jnp.zeros((1, 15, 3))
+    with pytest.raises(ValueError, match="not divisible"):
+        shard_points(pts, mesh)
