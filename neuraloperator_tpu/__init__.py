@@ -27,3 +27,4 @@ from .losses import (  # noqa: F401
 from .training import Trainer  # noqa: F401
 from .data import datasets, transforms  # noqa: F401
 from . import parallel  # noqa: F401  (the reference exposes `mpu` here)
+from . import serving  # noqa: F401  (TPU-native deployment; no reference analogue)

@@ -1,0 +1,180 @@
+"""Production inference: AOT-compiled forwards and portable artifacts.
+
+The reference has no deployment story beyond ``model.eval()``; serving a
+neural operator on TPU wants three things the training path does not
+give you directly:
+
+1. **Ahead-of-time compilation** — ``jax.jit`` compiles on first call,
+   which on a remote-relayed TPU can take minutes; a serving process
+   should pay that cost at load time, not on the first request.
+   ``CompiledForward`` lowers and compiles the forward for a fixed set
+   of batch-size buckets up front.
+2. **Static shapes under a dynamic request stream** — XLA/TPU programs
+   are shape-specialized. ``CompiledForward`` pads each request batch up
+   to the smallest compiled bucket and slices the result back, so any
+   request size in ``[1, max(batch_sizes)]`` hits a pre-compiled
+   program (the classic bucketing recipe, e.g. TF-Serving / JetStream).
+3. **A portable artifact** — ``export_forward`` serializes the forward
+   (weights baked in as constants) to a StableHLO artifact via
+   ``jax.export``; ``load_exported`` runs it without the model class,
+   the flax params tree, or even this package on the serving host.
+
+No reference counterpart (ahead of reference); closest intent is the
+inference use of ``Trainer.evaluate``
+(/root/reference/neuralop/training/trainer.py:589-671).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+__all__ = [
+    "CompiledForward",
+    "export_forward",
+    "load_exported",
+]
+
+
+def _round_up_bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if b >= n:
+            return b
+    raise ValueError(
+        f"request batch {n} exceeds the largest compiled bucket "
+        f"{buckets[-1]}; construct CompiledForward with a larger "
+        f"batch_sizes entry"
+    )
+
+
+class CompiledForward:
+    """AOT-compiled, batch-bucketed forward for serving.
+
+    Parameters
+    ----------
+    model : flax module with ``.apply``
+    params : parameter pytree (device-put once at construction)
+    example_input : array ``(b, ...)`` fixing every non-batch dim + dtype
+    batch_sizes : bucket list (default ``(1, 8)``), sorted ascending;
+        each gets its own compiled program at construction time
+    param_dtype : optionally cast floating params (e.g. ``jnp.bfloat16``
+        for weight-halved serving; quality characterization in
+        BASELINE.md's mixed-precision study)
+    apply_kwargs : static kwargs forwarded to ``model.apply``
+    """
+
+    def __init__(
+        self,
+        model,
+        params,
+        example_input,
+        batch_sizes: Sequence[int] = (1, 8),
+        param_dtype=None,
+        **apply_kwargs,
+    ):
+        if param_dtype is not None:
+            params = jax.tree_util.tree_map(
+                lambda a: a.astype(param_dtype)
+                if jnp.issubdtype(a.dtype, jnp.floating)
+                else a,
+                params,
+            )
+        self._params = jax.device_put(params)
+        self.batch_sizes = tuple(sorted(int(b) for b in batch_sizes))
+        feat_shape = tuple(example_input.shape[1:])
+        dtype = example_input.dtype
+
+        def fwd(p, x):
+            return model.apply({"params": p}, x, **apply_kwargs)
+
+        self._compiled = {}
+        self.compile_seconds = {}
+        self._feat_shape, self._dtype = feat_shape, dtype
+        jitted = jax.jit(fwd)
+        for b in self.batch_sizes:
+            spec = jax.ShapeDtypeStruct((b,) + feat_shape, dtype)
+            t0 = time.perf_counter()
+            self._compiled[b] = jitted.lower(self._params, spec).compile()
+            self.compile_seconds[b] = time.perf_counter() - t0
+
+    def __call__(self, x):
+        n = x.shape[0]
+        b = _round_up_bucket(n, self.batch_sizes)
+        if b != n:
+            pad = [(0, b - n)] + [(0, 0)] * (x.ndim - 1)
+            x = jnp.pad(x, pad)
+        out = self._compiled[b](self._params, x)
+        return jax.tree_util.tree_map(lambda o: o[:n], out)
+
+    def latency_probe(self, batch_size: Optional[int] = None, iters: int = 10):
+        """Measured end-to-end latency (s) per request at one bucket.
+
+        Forces a host transfer per iteration — on relay-attached
+        runtimes ``block_until_ready`` alone does not wait for device
+        compute (see CLAUDE.md), so this is the honest serving number.
+        """
+        b = batch_size or self.batch_sizes[0]
+        b = _round_up_bucket(b, self.batch_sizes)
+        x = jnp.zeros((b,) + self._feat_shape, self._dtype)
+        first = self._compiled[b](self._params, x)
+        float(jnp.asarray(jax.tree_util.tree_leaves(first)[0]).ravel()[0])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = self._compiled[b](self._params, x)
+            float(jnp.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+        return (time.perf_counter() - t0) / iters
+
+
+def export_forward(
+    model,
+    params,
+    example_input,
+    path: Optional[str] = None,
+    polymorphic_batch: bool = True,
+    platforms: Optional[Sequence[str]] = None,
+    **apply_kwargs,
+) -> bytes:
+    """Serialize the forward to a portable StableHLO artifact.
+
+    The parameters are baked into the artifact as constants, so the
+    serving host needs neither the model class nor the params tree.
+    With ``polymorphic_batch`` the leading dim is exported symbolically
+    (any batch size runs); set it False for a shape-specialized
+    artifact. ``platforms`` pins lowering targets (e.g.
+    ``("tpu", "cpu")``); default is the exporting process's backend.
+
+    Returns the serialized bytes; also writes them to ``path`` if given.
+    """
+
+    def fwd(x):
+        return model.apply({"params": params}, x, **apply_kwargs)
+
+    feat_shape = tuple(example_input.shape[1:])
+    if polymorphic_batch:
+        (batch,) = jax_export.symbolic_shape("b")
+        shape = (batch,) + feat_shape
+    else:
+        shape = tuple(example_input.shape)
+    spec = jax.ShapeDtypeStruct(shape, example_input.dtype)
+    kwargs = {"platforms": tuple(platforms)} if platforms else {}
+    exported = jax_export.export(jax.jit(fwd), **kwargs)(spec)
+    blob = exported.serialize()
+    if path is not None:
+        Path(path).write_bytes(blob)
+    return blob
+
+
+def load_exported(path_or_bytes) -> Callable:
+    """Load an ``export_forward`` artifact into a jitted callable."""
+    blob = (
+        path_or_bytes
+        if isinstance(path_or_bytes, (bytes, bytearray))
+        else Path(path_or_bytes).read_bytes()
+    )
+    exported = jax_export.deserialize(bytes(blob))
+    return jax.jit(exported.call)

@@ -1,0 +1,85 @@
+"""Serving path: AOT-compiled bucketed forward + jax.export artifacts.
+
+No reference counterpart (ahead of reference); the closest intent is
+inference via Trainer.evaluate (/root/reference/neuralop/training/
+trainer.py:589-671)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neuraloperator_tpu.models import FNO
+from neuraloperator_tpu.serving import (
+    CompiledForward,
+    export_forward,
+    load_exported,
+)
+
+
+@pytest.fixture(scope="module")
+def small_fno():
+    model = FNO(n_modes=(8, 8), in_channels=1, out_channels=1,
+                hidden_channels=8, n_layers=2)
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 1, 16, 16),
+                    jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    return model, params, x
+
+
+def test_compiled_forward_buckets_match_eager(small_fno):
+    model, params, x = small_fno
+    srv = CompiledForward(model, params, x, batch_sizes=(2, 4))
+    ref = model.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(srv(x)), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    # odd request size pads up to bucket 2 then slices back
+    out1 = srv(x[:1])
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(ref[:1]),
+                               rtol=1e-5, atol=1e-6)
+    assert out1.shape[0] == 1
+    assert set(srv.compile_seconds) == {2, 4}
+
+
+def test_compiled_forward_rejects_oversize(small_fno):
+    model, params, x = small_fno
+    srv = CompiledForward(model, params, x, batch_sizes=(2,))
+    with pytest.raises(ValueError, match="largest compiled bucket"):
+        srv(jnp.concatenate([x, x], axis=0))
+
+
+def test_compiled_forward_param_dtype_cast(small_fno):
+    model, params, x = small_fno
+    srv = CompiledForward(model, params, x, batch_sizes=(4,),
+                          param_dtype=jnp.bfloat16)
+    leaves = jax.tree_util.tree_leaves(srv._params)
+    assert all(l.dtype == jnp.bfloat16 for l in leaves
+               if jnp.issubdtype(l.dtype, jnp.floating))
+    ref = model.apply({"params": params}, x)
+    # bf16 weights: loose tolerance
+    np.testing.assert_allclose(np.asarray(srv(x)), np.asarray(ref),
+                               rtol=0.1, atol=0.05)
+
+
+def test_export_roundtrip_polymorphic_batch(small_fno, tmp_path):
+    model, params, x = small_fno
+    path = tmp_path / "fno_forward.stablehlo"
+    blob = export_forward(model, params, x, path=str(path))
+    assert path.read_bytes() == blob
+    fn = load_exported(str(path))
+    ref = model.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(fn(x)), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    # polymorphic batch: a different leading dim runs the same artifact
+    out3 = fn(x[:3])
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(ref[:3]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_export_static_batch(small_fno):
+    model, params, x = small_fno
+    blob = export_forward(model, params, x, polymorphic_batch=False)
+    fn = load_exported(blob)
+    ref = model.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(fn(x)), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
