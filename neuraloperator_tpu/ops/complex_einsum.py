@@ -99,8 +99,15 @@ def complex_einsum(
         r, i = _single_complex(f"{subs[0]}->{output}", parts[0])
         return finish(r, i)
 
+    def plan_shape(shape):
+        # under jax.export shape-polymorphism a dim may be a symbolic
+        # _DimExpr; any stand-in size gives a valid contraction order
+        return tuple(
+            d if isinstance(d, (int, np.integer)) else 8 for d in shape
+        )
+
     dummies = [
-        np.broadcast_to(np.float32(0), p[0].shape) for p in parts
+        np.broadcast_to(np.float32(0), plan_shape(p[0].shape)) for p in parts
     ]
     path, _ = np.einsum_path(eq, *dummies, optimize="optimal")
     path = path[1:]  # first entry is the string 'einsum_path'

@@ -83,3 +83,19 @@ def test_export_static_batch(small_fno):
     ref = model.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(fn(x)), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_export_roundtrip_tfno_factorized(tmp_path):
+    """The factorized (Tucker) contraction path — complex einsums as
+    split-real Karatsuba matmuls — must survive export/deserialize."""
+    from neuraloperator_tpu.models import TFNO
+
+    model = TFNO(n_modes=(8, 8), in_channels=1, out_channels=1,
+                 hidden_channels=8, n_layers=2, rank=0.5)
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 1, 16, 16),
+                    jnp.float32)
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+    fn = load_exported(export_forward(model, params, x))
+    ref = model.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(fn(x)), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
