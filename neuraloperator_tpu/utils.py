@@ -15,13 +15,17 @@ import numpy as np
 Number = Union[int, float]
 
 
-def count_tensor_params(tensor) -> int:
-    """Number of real-valued parameters in an array.
+def count_tensor_params(tensor, dims=None) -> int:
+    """Number of real-valued parameters in an array, optionally counting
+    only the listed dimensions.
 
     Complex entries count twice (matches reference
-    ``neuralop/utils.py:29-50``).
+    ``neuralop/utils.py:28-50``).
     """
-    n = int(np.prod(tensor.shape))
+    shape = (
+        tensor.shape if dims is None else [tensor.shape[d] for d in dims]
+    )
+    n = int(np.prod(shape))
     if jnp.iscomplexobj(tensor):
         n *= 2
     return n
