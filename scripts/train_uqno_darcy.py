@@ -42,6 +42,9 @@ class UQNOConfig(ConfigBase):
     delta: float = 0.05  # target function-level miscoverage
     learning_rate: float = 5e-3
     verbose: bool = True
+    resolution: int = 16  # >16: synthetic Darcy at this grid size (the
+    # in-domain concentration bound ~ 1/sqrt(n_gridpts) tightens the
+    # calibrated band with resolution; see BASELINE.md)
 
 
 def get_coeff_quantile_idx(alpha, delta, n_samples, n_gridpts):
@@ -65,10 +68,41 @@ def get_coeff_quantile_idx(alpha, delta, n_samples, n_gridpts):
 def main():
     config = make_config_from_cli(UQNOConfig)
     setup()
-    train_loader, test_loaders, dp = load_darcy_flow_small(
-        n_train=config.n_train, n_tests=[100], batch_size=16,
-        test_batch_sizes=[16], test_resolutions=[16],
-    )
+    if config.resolution == 16:
+        train_loader, test_loaders, dp = load_darcy_flow_small(
+            n_train=config.n_train, n_tests=[100], batch_size=16,
+            test_batch_sizes=[16], test_resolutions=[16],
+        )
+    else:
+        # synthetic Darcy at the requested resolution (cached on disk)
+        from pathlib import Path
+
+        from neuraloperator_tpu.data.datasets import DarcyDataset
+        from neuraloperator_tpu.data.datasets.synthetic import (
+            generate_darcy_files,
+        )
+        from neuraloperator_tpu.data.datasets.tensor_dataset import (
+            DataLoader as _DL,
+        )
+
+        res = config.resolution
+        root = Path(f"/tmp/darcy_synth_{res}")
+        if not (root / f"darcy_train_{res}.pt").exists():
+            generate_darcy_files(
+                root, n_train=config.n_train, n_test=100,
+                resolutions=(res,),
+            )
+        ds = DarcyDataset(
+            root, n_train=config.n_train, n_tests=[100], batch_size=16,
+            test_batch_sizes=[16], train_resolution=res,
+            test_resolutions=[res],
+        )
+        train_loader = _DL(ds.train_db, 16, shuffle=True)
+        test_loaders = {
+            res: _DL(db, 16, shuffle=False)
+            for res, db in ds.test_dbs.items()
+        }
+        dp = ds.data_processor
 
     # materialize the train split and carve it into solution/residual/calib
     xs, ys = [], []
@@ -188,7 +222,7 @@ def main():
 
     # 4. evaluate (alpha, delta) coverage + bandwidth on the test split
     xs, ys = [], []
-    for batch in test_loaders[16]:
+    for batch in test_loaders[config.resolution]:
         xs.append(np.asarray(batch["x"]))
         ys.append(np.asarray(batch["y"]))
     x_t, y_t = np.concatenate(xs), np.concatenate(ys)
