@@ -99,3 +99,21 @@ def test_export_roundtrip_tfno_factorized(tmp_path):
     ref = model.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(fn(x)), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_export_roundtrip_sfno():
+    """The spherical (SHT-matmul) path must survive export: Legendre
+    analysis/synthesis are real matmuls, longitude is an rDFT."""
+    from neuraloperator_tpu.models import SFNO
+
+    model = SFNO(n_modes=(8, 8), in_channels=1, out_channels=1,
+                 hidden_channels=8, n_layers=2)
+    x = jnp.asarray(np.random.RandomState(2).randn(2, 1, 16, 32),
+                    jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(2), x)["params"]
+    fn = load_exported(export_forward(model, params, x))
+    ref = model.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(fn(x)), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fn(x[:1])),
+                               np.asarray(ref[:1]), rtol=1e-5, atol=1e-6)
