@@ -49,6 +49,8 @@ blob = export_forward(model, params, x, path=artifact)
 print("artifact size: %.1f MB" % (len(blob) / 1e6))
 
 fn = load_exported(artifact)  # no model class / params needed past here
-ref = model.apply({"params": params}, x)
+# jit the reference forward: restricted TPU runtimes cannot execute
+# spectral convs op-by-op
+ref = jax.jit(lambda p, a: model.apply({"params": p}, a))(params, x)
 print("artifact max |err|:", float(jnp.abs(fn(x) - ref).max()))
 print("polymorphic batch (3):", fn(x[:3]).shape)

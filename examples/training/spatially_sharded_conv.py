@@ -95,8 +95,8 @@ gino = GINO(
     out_gno_channel_mlp_hidden_layers=(16,),
 )
 gkw = dict(in_neighbors=in_nbrs, out_neighbors=out_nbrs)
-gp = gino.init(jax.random.PRNGKey(2), input_geom, latent_queries,
-               output_queries, feats, **gkw)["params"]
+gp = jax.jit(gino.init)(jax.random.PRNGKey(2), input_geom, latent_queries,
+                        output_queries, feats, **gkw)["params"]
 with mesh_lib.use_mesh(mesh):
     lq_s, oq_s, inn_s, onn_s = shard_gino_inputs(
         mesh, latent_queries=latent_queries, output_queries=output_queries,

@@ -76,22 +76,58 @@ def load_darcy_flow_small(
     encode_output: bool = True,
     encoding: str = "channel-wise",
     seed: int = 0,
+    train_resolution: int = 16,
 ):
     """Load the small Darcy dataset (reference darcy.py:151-199).
 
     Returns (train_loader, test_loaders, data_processor).
+
+    ``train_resolution`` generalizes the reference helper (fixed 16):
+    other grids use synthetic files generated into a cache keyed by
+    (resolution, sample counts), so reruns with different counts
+    regenerate instead of silently subsampling a stale cache.
     """
-    root = _find_root(data_root)
-    if root is None:
+    n_test_req = max(max(n_tests), 50)
+    if train_resolution == 16:
+        root = _find_root(data_root)
+        if root is None:
+            from .synthetic import generate_darcy_files
+
+            root = Path(__file__).parent / "data"
+            generate_darcy_files(
+                root,
+                n_train=max(n_train, 100),
+                n_test=n_test_req,
+                resolutions=sorted(set([16] + list(test_resolutions))),
+            )
+    else:
+        import tempfile
+
         from .synthetic import generate_darcy_files
 
-        root = Path(__file__).parent / "data"
-        generate_darcy_files(
-            root,
-            n_train=max(n_train, 100),
-            n_test=max(max(n_tests), 50),
-            resolutions=sorted(set([16] + list(test_resolutions))),
+        resolutions = sorted(
+            set([train_resolution] + list(test_resolutions))
         )
+        root = (
+            Path(data_root)
+            if data_root is not None
+            else Path(tempfile.gettempdir())
+            / (
+                f"neuraloperator_tpu_darcy_r{train_resolution}"
+                f"_n{max(n_train, 100)}_t{n_test_req}"
+            )
+        )
+        if not all(
+            (root / f"darcy_{split}_{r}.pt").exists()
+            for r in resolutions
+            for split in ("train", "test")
+        ):
+            generate_darcy_files(
+                root,
+                n_train=max(n_train, 100),
+                n_test=n_test_req,
+                resolutions=resolutions,
+            )
 
     dataset = DarcyDataset(
         root_dir=root,
@@ -99,7 +135,7 @@ def load_darcy_flow_small(
         n_tests=n_tests,
         batch_size=batch_size,
         test_batch_sizes=test_batch_sizes,
-        train_resolution=16,
+        train_resolution=train_resolution,
         test_resolutions=list(test_resolutions),
         encode_input=encode_input,
         encode_output=encode_output,

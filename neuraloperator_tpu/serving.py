@@ -65,7 +65,18 @@ class CompiledForward:
     param_dtype : optionally cast floating params (e.g. ``jnp.bfloat16``
         for weight-halved serving; quality characterization in
         BASELINE.md's mixed-precision study)
+    postprocess_fn : optional function applied to the model output
+        *inside* the compiled program — use it to bake the training-time
+        decoder into the endpoint (e.g.
+        ``data_processor.out_normalizer.inverse_transform``), otherwise
+        a model trained with ``encode_output=True`` serves
+        normalized-space predictions
     apply_kwargs : static kwargs forwarded to ``model.apply``
+
+    Output leaves whose leading axis is the batch axis are sliced back
+    to the request size; leaves without a leading batch axis (aux
+    outputs) pass through unchanged — note such aux values were computed
+    on the zero-padded batch.
     """
 
     def __init__(
@@ -75,6 +86,7 @@ class CompiledForward:
         example_input,
         batch_sizes: Sequence[int] = (1, 8),
         param_dtype=None,
+        postprocess_fn: Optional[Callable] = None,
         **apply_kwargs,
     ):
         if param_dtype is not None:
@@ -90,7 +102,8 @@ class CompiledForward:
         dtype = example_input.dtype
 
         def fwd(p, x):
-            return model.apply({"params": p}, x, **apply_kwargs)
+            out = model.apply({"params": p}, x, **apply_kwargs)
+            return postprocess_fn(out) if postprocess_fn is not None else out
 
         self._compiled = {}
         self.compile_seconds = {}
@@ -109,17 +122,32 @@ class CompiledForward:
             pad = [(0, b - n)] + [(0, 0)] * (x.ndim - 1)
             x = jnp.pad(x, pad)
         out = self._compiled[b](self._params, x)
-        return jax.tree_util.tree_map(lambda o: o[:n], out)
+        return jax.tree_util.tree_map(
+            lambda o: o[:n]
+            if getattr(o, "ndim", 0) >= 1 and o.shape[0] == b
+            else o,
+            out,
+        )
 
     def latency_probe(self, batch_size: Optional[int] = None, iters: int = 10):
         """Measured end-to-end latency (s) per request at one bucket.
 
-        Forces a host transfer per iteration — on relay-attached
+        ``batch_size`` must be a compiled bucket (default: the smallest)
+        so the reported number is labeled by the program that actually
+        ran. Forces a host transfer per iteration — on relay-attached
         runtimes ``block_until_ready`` alone does not wait for device
         compute (see CLAUDE.md), so this is the honest serving number.
         """
-        b = batch_size or self.batch_sizes[0]
-        b = _round_up_bucket(b, self.batch_sizes)
+        if batch_size is None:
+            b = self.batch_sizes[0]
+        elif batch_size in self.batch_sizes:
+            b = batch_size
+        else:
+            raise ValueError(
+                f"batch_size {batch_size} is not a compiled bucket "
+                f"{self.batch_sizes}; probe an exact bucket so the "
+                f"latency is attributed to the right program"
+            )
         x = jnp.zeros((b,) + self._feat_shape, self._dtype)
         first = self._compiled[b](self._params, x)
         float(jnp.asarray(jax.tree_util.tree_leaves(first)[0]).ravel()[0])
@@ -137,6 +165,7 @@ def export_forward(
     path: Optional[str] = None,
     polymorphic_batch: bool = True,
     platforms: Optional[Sequence[str]] = None,
+    postprocess_fn: Optional[Callable] = None,
     **apply_kwargs,
 ) -> bytes:
     """Serialize the forward to a portable StableHLO artifact.
@@ -149,10 +178,15 @@ def export_forward(
     ``("tpu", "cpu")``); default is the exporting process's backend.
 
     Returns the serialized bytes; also writes them to ``path`` if given.
+    ``postprocess_fn`` (e.g. the training normalizer's
+    ``inverse_transform``) is baked into the artifact — without it a
+    model trained with ``encode_output=True`` serves normalized-space
+    predictions.
     """
 
     def fwd(x):
-        return model.apply({"params": params}, x, **apply_kwargs)
+        out = model.apply({"params": params}, x, **apply_kwargs)
+        return postprocess_fn(out) if postprocess_fn is not None else out
 
     feat_shape = tuple(example_input.shape[1:])
     if polymorphic_batch:

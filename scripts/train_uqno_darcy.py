@@ -68,41 +68,11 @@ def get_coeff_quantile_idx(alpha, delta, n_samples, n_gridpts):
 def main():
     config = make_config_from_cli(UQNOConfig)
     setup()
-    if config.resolution == 16:
-        train_loader, test_loaders, dp = load_darcy_flow_small(
-            n_train=config.n_train, n_tests=[100], batch_size=16,
-            test_batch_sizes=[16], test_resolutions=[16],
-        )
-    else:
-        # synthetic Darcy at the requested resolution (cached on disk)
-        from pathlib import Path
-
-        from neuraloperator_tpu.data.datasets import DarcyDataset
-        from neuraloperator_tpu.data.datasets.synthetic import (
-            generate_darcy_files,
-        )
-        from neuraloperator_tpu.data.datasets.tensor_dataset import (
-            DataLoader as _DL,
-        )
-
-        res = config.resolution
-        root = Path(f"/tmp/darcy_synth_{res}")
-        if not (root / f"darcy_train_{res}.pt").exists():
-            generate_darcy_files(
-                root, n_train=config.n_train, n_test=100,
-                resolutions=(res,),
-            )
-        ds = DarcyDataset(
-            root, n_train=config.n_train, n_tests=[100], batch_size=16,
-            test_batch_sizes=[16], train_resolution=res,
-            test_resolutions=[res],
-        )
-        train_loader = _DL(ds.train_db, 16, shuffle=True)
-        test_loaders = {
-            res: _DL(db, 16, shuffle=False)
-            for res, db in ds.test_dbs.items()
-        }
-        dp = ds.data_processor
+    train_loader, test_loaders, dp = load_darcy_flow_small(
+        n_train=config.n_train, n_tests=[100], batch_size=16,
+        test_batch_sizes=[16], test_resolutions=[config.resolution],
+        train_resolution=config.resolution,
+    )
 
     # materialize the train split and carve it into solution/residual/calib
     xs, ys = [], []

@@ -117,3 +117,45 @@ def test_export_roundtrip_sfno():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(fn(x[:1])),
                                np.asarray(ref[:1]), rtol=1e-5, atol=1e-6)
+
+
+def test_compiled_forward_postprocess_and_probe_buckets(small_fno):
+    """postprocess_fn is baked into the compiled program (the decoder of
+    an encode_output=True training run); latency_probe only accepts real
+    buckets so the number is attributed to the program that ran."""
+    from neuraloperator_tpu.data.transforms.normalizers import (
+        UnitGaussianNormalizer,
+    )
+
+    model, params, x = small_fno
+    norm = UnitGaussianNormalizer(dim=[0, 2, 3])
+    norm.fit(np.random.RandomState(7).randn(8, 1, 16, 16) * 3 + 2)
+    srv = CompiledForward(model, params, x, batch_sizes=(4,),
+                          postprocess_fn=norm.inverse_transform)
+    ref = norm.inverse_transform(model.apply({"params": params}, x))
+    np.testing.assert_allclose(np.asarray(srv(x)), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    with pytest.raises(ValueError, match="not a compiled bucket"):
+        srv.latency_probe(3)
+    assert srv.latency_probe(4, iters=1) > 0
+
+    blob = export_forward(model, params, x,
+                          postprocess_fn=norm.inverse_transform)
+    fn = load_exported(blob)
+    np.testing.assert_allclose(np.asarray(fn(x)), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_compiled_forward_aux_output_leaves_pass_through(small_fno):
+    """Leaves without a leading batch axis must not be sliced."""
+    model, params, x = small_fno
+
+    class Wrapper:
+        def apply(self, variables, a):
+            out = model.apply(variables, a)
+            return {"y": out, "aux": jnp.float32(3.0)}
+
+    srv = CompiledForward(Wrapper(), params, x, batch_sizes=(4,))
+    out = srv(x[:2])
+    assert out["y"].shape[0] == 2
+    assert float(out["aux"]) == 3.0
