@@ -71,6 +71,11 @@ class CompiledForward:
         ``data_processor.out_normalizer.inverse_transform``), otherwise
         a model trained with ``encode_output=True`` serves
         normalized-space predictions
+    mesh : optional ``jax.sharding.Mesh`` for multi-chip serving:
+        params are replicated and each bucket's batch axis is sharded
+        over the ``'data'`` mesh axis (every bucket must be divisible
+        by it) — XLA then runs the forward data-parallel with no code
+        change in the model
     apply_kwargs : static kwargs forwarded to ``model.apply``
 
     Output leaves whose leading axis is the batch axis are sliced back
@@ -87,6 +92,7 @@ class CompiledForward:
         batch_sizes: Sequence[int] = (1, 8),
         param_dtype=None,
         postprocess_fn: Optional[Callable] = None,
+        mesh=None,
         **apply_kwargs,
     ):
         if param_dtype is not None:
@@ -96,10 +102,25 @@ class CompiledForward:
                 else a,
                 params,
             )
-        self._params = jax.device_put(params)
         self.batch_sizes = tuple(sorted(int(b) for b in batch_sizes))
         feat_shape = tuple(example_input.shape[1:])
         dtype = example_input.dtype
+        in_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_data = mesh.shape.get("data", 1)
+            for b in self.batch_sizes:
+                if b % n_data:
+                    raise ValueError(
+                        f"bucket {b} not divisible by the 'data' mesh "
+                        f"axis size {n_data}"
+                    )
+            params = jax.device_put(params, NamedSharding(mesh, P()))
+            in_sharding = NamedSharding(
+                mesh, P("data", *([None] * len(feat_shape)))
+            )
+        self._params = jax.device_put(params)
 
         def fwd(p, x):
             out = model.apply({"params": p}, x, **apply_kwargs)
@@ -110,7 +131,9 @@ class CompiledForward:
         self._feat_shape, self._dtype = feat_shape, dtype
         jitted = jax.jit(fwd)
         for b in self.batch_sizes:
-            spec = jax.ShapeDtypeStruct((b,) + feat_shape, dtype)
+            spec = jax.ShapeDtypeStruct(
+                (b,) + feat_shape, dtype, sharding=in_sharding
+            )
             t0 = time.perf_counter()
             self._compiled[b] = jitted.lower(self._params, spec).compile()
             self.compile_seconds[b] = time.perf_counter() - t0

@@ -159,3 +159,19 @@ def test_compiled_forward_aux_output_leaves_pass_through(small_fno):
     out = srv(x[:2])
     assert out["y"].shape[0] == 2
     assert float(out["aux"]) == 3.0
+
+
+def test_compiled_forward_multi_device_dp(small_fno):
+    """mesh= serves data-parallel: bucket batch sharded over 'data',
+    params replicated; outputs match the single-device endpoint."""
+    from neuraloperator_tpu.parallel import mesh as mesh_lib
+
+    model, params, x = small_fno
+    ref = CompiledForward(model, params, x, batch_sizes=(4,))(x)
+    mesh = mesh_lib.init()  # all devices on 'data'
+    srv = CompiledForward(model, params, x, batch_sizes=(8,), mesh=mesh)
+    out = srv(jnp.concatenate([x, x], axis=0))
+    np.testing.assert_allclose(np.asarray(out[:4]), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    with pytest.raises(ValueError, match="not divisible"):
+        CompiledForward(model, params, x, batch_sizes=(3,), mesh=mesh)
