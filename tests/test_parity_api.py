@@ -236,3 +236,21 @@ def test_tensor_galore_projector_roundtrip():
     lossy = TensorGaLoreProjector(rank=0.5)
     core2 = lossy.project(jnp.asarray(g), 0)
     assert core2.size < g.size
+
+
+def test_top_level_imports_match_reference():
+    """Every top-level name the reference's neuralop/__init__.py exports
+    must import from neuraloperator_tpu (reference __init__.py:1-19)."""
+    import neuraloperator_tpu as nt
+
+    for name in [
+        "TFNO", "FNO", "RNO", "get_model", "datasets", "transforms",
+        "Trainer", "LpLoss", "H1Loss", "BurgersEqnLoss", "ICLoss",
+        "WeightedSumLoss", "Aggregator", "Relobralo", "SoftAdapt",
+        "FourierDiff", "non_uniform_fd", "FiniteDiff",
+    ]:
+        assert hasattr(nt, name) or hasattr(nt.data, name), name
+    # mpu equivalent + TPU-native additions
+    assert hasattr(nt, "parallel")
+    assert hasattr(nt, "serving")
+    assert nt.__version__
