@@ -24,6 +24,7 @@ axon-relayed) chip so the utilization claim is principled.
 
 import argparse
 import json
+import sys
 import time
 
 import jax
@@ -134,6 +135,37 @@ def main():
                    help="batch size (throughput scales reported per-step "
                         "at the reference batch of 8 by default)")
     args = p.parse_args()
+
+    # The shared TPU worker can be down for an hour-plus. Probe it from a
+    # SUBPROCESS (an in-process hang cannot be interrupted) with retries,
+    # and emit an honest error line instead of hanging the caller forever.
+    import subprocess
+
+    deadline = time.time() + 3600
+    attempt = 0
+    while True:
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "print(float(jax.jit(lambda a:(a@a).sum())"
+                 "(jnp.ones((128,128),jnp.bfloat16))))"],
+                capture_output=True, timeout=900,
+            )
+            ok = probe.returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if ok:
+            break
+        attempt += 1
+        if time.time() > deadline:
+            print(json.dumps({
+                "metric": "ns128_fno_train_steps_per_sec",
+                "value": None, "unit": "steps/sec", "vs_baseline": None,
+                "error": f"tpu_unreachable_after_{attempt}_probes_1h",
+            }))
+            sys.exit(1)
+        time.sleep(60)
 
     import optax
 
