@@ -142,8 +142,10 @@ def main():
     import subprocess
 
     deadline = time.time() + 3600
-    attempt = 0
+    attempt = quick_failures = 0
+    last_stderr = ""
     while True:
+        t_probe = time.time()
         try:
             probe = subprocess.run(
                 [sys.executable, "-c",
@@ -153,18 +155,32 @@ def main():
                 capture_output=True, timeout=900,
             )
             ok = probe.returncode == 0
+            last_stderr = probe.stderr.decode(errors="replace")[-500:]
         except subprocess.TimeoutExpired:
             ok = False
+            last_stderr = "probe timeout (900s) — worker unreachable"
+        attempt += 1
         if ok:
             break
-        attempt += 1
-        if time.time() > deadline:
+        # a probe that fails in seconds is a broken environment, not an
+        # outage — don't burn an hour retrying it
+        if time.time() - t_probe < 60:
+            quick_failures += 1
+        reason = (
+            "probe_failing_fast_environment_broken"
+            if quick_failures >= 3
+            else f"tpu_unreachable_after_{attempt}_probes_1h"
+        )
+        if quick_failures >= 3 or time.time() > deadline:
             print(json.dumps({
                 "metric": "ns128_fno_train_steps_per_sec",
                 "value": None, "unit": "steps/sec", "vs_baseline": None,
-                "error": f"tpu_unreachable_after_{attempt}_probes_1h",
+                "error": reason, "probe_stderr": last_stderr,
             }))
             sys.exit(1)
+        print(f"[bench] TPU probe {attempt} failed; retrying "
+              f"(deadline in {int(deadline - time.time())}s)",
+              file=sys.stderr, flush=True)
         time.sleep(60)
 
     import optax

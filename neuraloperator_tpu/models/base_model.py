@@ -86,6 +86,16 @@ def save_checkpoint(
     state_path = folder / f"{save_name}_state_dict.msgpack"
     variables = jax.device_get(variables)
     state_path.write_bytes(flax.serialization.to_bytes(variables))
+    save_arch_metadata(module, folder, save_name)
+
+
+def save_arch_metadata(module: nn.Module, save_folder, save_name: str):
+    """Write only the ``{save_name}_metadata.json`` reconstruction
+    sidecar (architecture name + init kwargs) — used by the Trainer so
+    its weight-only training-state checkpoints can be rebuilt without
+    the training script's config (e.g. by ``scripts/serve_model.py``)."""
+    folder = Path(save_folder)
+    folder.mkdir(parents=True, exist_ok=True)
     meta = {
         "_name": type(module).__name__,
         "_version": _VERSION,

@@ -394,6 +394,18 @@ class Trainer:
         best_params = None
         all_metrics: Dict[str, float] = {}
 
+        if save_every is not None or save_best is not None:
+            # architecture sidecars so weight-only training states can be
+            # rebuilt without the training script (scripts/serve_model.py)
+            from ..models.base_model import save_arch_metadata
+
+            try:
+                save_arch_metadata(self.model, save_dir, "model")
+                if save_best is not None:
+                    save_arch_metadata(self.model, save_dir, "best_model")
+            except Exception:
+                pass  # unregistered/custom modules: weights still saved
+
         for epoch in range(self.start_epoch, self.n_epochs):
             t0 = time.perf_counter()
             if self.data_processor is not None and hasattr(

@@ -52,10 +52,22 @@ def main():
     template = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0), example)
     )
-    variables = load_checkpoint(
-        model, template, config.ckpt_dir, config.name
-    )
-    params = variables["params"]
+    ckpt = Path(config.ckpt_dir)
+    if (ckpt / f"{config.name}_state_dict.msgpack").exists():
+        # models.save_checkpoint layout (full variables)
+        variables = load_checkpoint(
+            model, template, config.ckpt_dir, config.name
+        )
+        params = variables["params"]
+    else:
+        # Trainer training-state layout ({name}.msgpack = params only;
+        # the arch metadata sidecar is written by Trainer.train)
+        import flax.serialization
+
+        params = flax.serialization.from_bytes(
+            template["params"],
+            (ckpt / f"{config.name}.msgpack").read_bytes(),
+        )
 
     srv = CompiledForward(
         model, params, example, batch_sizes=config.buckets,
@@ -78,7 +90,17 @@ def main():
           f"{bool(jnp.isfinite(leaf).all())}")
 
     if config.export:
-        blob = export_forward(model, params, example, path=config.export)
+        export_params = params
+        if config.bf16:
+            # match the probed endpoint: bake bf16 weights into the artifact
+            export_params = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a,
+                params,
+            )
+        blob = export_forward(
+            model, export_params, example, path=config.export
+        )
         print(f"exported {len(blob) / 1e6:.1f} MB -> {config.export}")
 
 

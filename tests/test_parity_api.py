@@ -249,7 +249,7 @@ def test_top_level_imports_match_reference():
         "WeightedSumLoss", "Aggregator", "Relobralo", "SoftAdapt",
         "FourierDiff", "non_uniform_fd", "FiniteDiff",
     ]:
-        assert hasattr(nt, name) or hasattr(nt.data, name), name
+        assert hasattr(nt, name), name
     # mpu equivalent + TPU-native additions
     assert hasattr(nt, "parallel")
     assert hasattr(nt, "serving")
