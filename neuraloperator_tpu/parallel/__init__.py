@@ -16,3 +16,4 @@ from .distributed_sht import (  # noqa: F401
     DistributedSphericalConv,
     distributed_spherical_conv,
 )
+from .pipeline import gpipe, pipelined_fno_forward  # noqa: F401
