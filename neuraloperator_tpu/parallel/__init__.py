@@ -17,3 +17,4 @@ from .distributed_sht import (  # noqa: F401
     distributed_spherical_conv,
 )
 from .pipeline import gpipe, pipelined_fno_forward  # noqa: F401
+from .zero import zero_specs, shard_opt_state  # noqa: F401

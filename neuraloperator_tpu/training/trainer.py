@@ -41,6 +41,7 @@ class Trainer:
         eval_interval: int = 1,
         log_output: bool = False,
         use_distributed: bool = False,
+        zero_sharding: bool = False,
         verbose: bool = False,
     ):
         self.model = model
@@ -52,6 +53,12 @@ class Trainer:
         self.eval_interval = eval_interval
         self.log_output = log_output
         self.verbose = verbose
+
+        # ZeRO-1: shard optimizer state over the 'data' axis (1/N HBM per
+        # device); XLA derives the reduce-scatter/all-gather schedule from
+        # the sharding annotations (parallel/zero.py)
+        self.zero_sharding = zero_sharding
+        self._zero_specs = None
 
         self.params = None
         self.opt_state = None
@@ -193,6 +200,7 @@ class Trainer:
             return loss
 
         needs_value = getattr(optimizer, "needs_value", False)
+        zero_specs, zero_mesh = self._zero_specs, self.mesh
 
         def step(params, opt_state, batch, lr_scale):
             loss, grads = jax.value_and_grad(loss_fn)(params, batch)
@@ -202,6 +210,12 @@ class Trainer:
                 )
             else:
                 updates, opt_state = optimizer.update(grads, opt_state, params)
+            if zero_specs is not None:
+                from ..parallel import zero as zero_lib
+
+                opt_state = zero_lib.constrain(
+                    opt_state, zero_specs, zero_mesh
+                )
             # epoch-scheduler protocol: the Trainer scales updates by the
             # scheduler's current factor (equivalent to scaling the LR,
             # including AdamW's decoupled weight decay — both are
@@ -354,10 +368,22 @@ class Trainer:
 
         if self.mesh is not None:
             self.params = mesh_lib.shard_params(self.params, self.mesh)
-            self.opt_state = jax.device_put(
-                self.opt_state,
-                jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec()),
-            )
+            if self.zero_sharding:
+                from ..parallel import zero as zero_lib
+
+                self._zero_specs = zero_lib.zero_specs(
+                    self.opt_state, self.mesh
+                )
+                self.opt_state = zero_lib.shard_opt_state(
+                    self.opt_state, self.mesh
+                )
+            else:
+                self.opt_state = jax.device_put(
+                    self.opt_state,
+                    jax.sharding.NamedSharding(
+                        self.mesh, jax.sharding.PartitionSpec()
+                    ),
+                )
 
         train_step = self._build_train_step(
             optimizer,
