@@ -1,4 +1,10 @@
-from .optimizer import adamw, cosine_annealing, step_lr  # noqa: F401
+from .optimizer import (  # noqa: F401
+    adamw,
+    apply_updates_sr,
+    cosine_annealing,
+    step_lr,
+    stochastic_round_to,
+)
 from .trainer import Trainer  # noqa: F401
 from .training_state import (  # noqa: F401
     load_training_state,

@@ -138,6 +138,52 @@ def scale_by_adam_factored(
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def stochastic_round_to(dtype, x, key):
+    """Stochastically round f32 ``x`` to ``dtype`` (bf16): add a uniform
+    16-bit integer to the low mantissa bits and truncate, so the result
+    rounds up with probability equal to the discarded fraction. Unbiased
+    (E[sr(x)] = x), unlike round-to-nearest which silently drops updates
+    smaller than half a ulp of the parameter — the standard trick that
+    makes low-precision master weights trainable.
+    """
+    dtype = jnp.dtype(dtype)
+    if dtype != jnp.bfloat16:
+        raise NotImplementedError("stochastic rounding targets bfloat16")
+    x = x.astype(jnp.float32)
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    noise = jax.random.bits(key, x.shape, jnp.uint16).astype(jnp.uint32)
+    bits = bits + noise
+    high = (bits >> 16).astype(jnp.uint16)
+    return jax.lax.bitcast_convert_type(high, jnp.bfloat16)
+
+
+def apply_updates_sr(params, updates, key):
+    """``optax.apply_updates`` with stochastic rounding into low-precision
+    parameter leaves: bf16 params accumulate ``p + u`` in f32 and round
+    stochastically back to bf16 (per-leaf independent keys); full-precision
+    leaves take the plain sum. With bf16 *master* parameters this halves
+    the parameter read+write HBM traffic of the optimizer phase vs keeping
+    an f32 master copy (the reference trains f32-only; its AdamW is
+    ``/root/reference/neuralop/training/adamw.py:62-110``).
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    upd_leaves = treedef.flatten_up_to(updates)
+    keys = jax.random.split(key, len(leaves))
+    out = []
+    for p, u, k in zip(leaves, upd_leaves, keys):
+        if p.dtype == jnp.bfloat16:
+            out.append(
+                stochastic_round_to(
+                    jnp.bfloat16,
+                    p.astype(jnp.float32) + u.astype(jnp.float32),
+                    k,
+                )
+            )
+        else:
+            out.append((p + u.astype(p.dtype)).astype(p.dtype))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def adamw(
     learning_rate,
     weight_decay: float = 0.0,

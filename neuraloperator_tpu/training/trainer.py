@@ -42,6 +42,7 @@ class Trainer:
         log_output: bool = False,
         use_distributed: bool = False,
         zero_sharding: bool = False,
+        stochastic_rounding: bool = False,
         verbose: bool = False,
     ):
         self.model = model
@@ -59,6 +60,13 @@ class Trainer:
         # the sharding annotations (parallel/zero.py)
         self.zero_sharding = zero_sharding
         self._zero_specs = None
+
+        # stochastic rounding: bf16 parameter leaves accumulate updates in
+        # f32 and round stochastically (unbiased) back to bf16 — enables
+        # bf16 *master* params, halving parameter HBM traffic in the update
+        # phase (training/optimizer.py::apply_updates_sr)
+        self.stochastic_rounding = stochastic_rounding
+        self._sr_base_key = jax.random.PRNGKey(0x5757)
 
         self.params = None
         self.opt_state = None
@@ -202,7 +210,9 @@ class Trainer:
         needs_value = getattr(optimizer, "needs_value", False)
         zero_specs, zero_mesh = self._zero_specs, self.mesh
 
-        def step(params, opt_state, batch, lr_scale):
+        use_sr = self.stochastic_rounding
+
+        def step(params, opt_state, batch, lr_scale, sr_key=None):
             loss, grads = jax.value_and_grad(loss_fn)(params, batch)
             if needs_value:
                 updates, opt_state = optimizer.update(
@@ -223,7 +233,12 @@ class Trainer:
             updates = jax.tree_util.tree_map(
                 lambda u: u * lr_scale.astype(u.dtype), updates
             )
-            params = optax.apply_updates(params, updates)
+            if use_sr:
+                from .optimizer import apply_updates_sr
+
+                params = apply_updates_sr(params, updates, sr_key)
+            else:
+                params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
         self._raw_train_step = step  # reused by the epoch-scan path
@@ -238,23 +253,30 @@ class Trainer:
         reference's host-side DataLoader loop (trainer.py:266-334).
         """
         step = self._raw_train_step
+        use_sr = self.stochastic_rounding
 
-        def epoch_fn(params, opt_state, data, perm, lr_scale):
+        def epoch_fn(params, opt_state, data, perm, lr_scale, epoch_key):
             nb = perm.shape[0] // batch_size
             idx = perm[: nb * batch_size].reshape(nb, batch_size)
 
-            def body(carry, b_idx):
+            def body(carry, scanned):
                 params, opt_state, s = carry
+                b_idx, i = scanned
                 batch = {
                     k: jnp.take(v, b_idx, axis=0) for k, v in data.items()
                 }
+                sr_key = (
+                    jax.random.fold_in(epoch_key, i) if use_sr else None
+                )
                 params, opt_state, loss = step(
-                    params, opt_state, batch, lr_scale
+                    params, opt_state, batch, lr_scale, sr_key
                 )
                 return (params, opt_state, s + loss), None
 
             (params, opt_state, s), _ = jax.lax.scan(
-                body, (params, opt_state, jnp.float32(0.0)), idx
+                body,
+                (params, opt_state, jnp.float32(0.0)),
+                (idx, jnp.arange(nb)),
             )
             return params, opt_state, s / nb
 
@@ -447,7 +469,8 @@ class Trainer:
                     jnp.int32,
                 )
                 self.params, self.opt_state, mean_loss = epoch_fn(
-                    self.params, self.opt_state, device_data, perm, lr_scale
+                    self.params, self.opt_state, device_data, perm, lr_scale,
+                    jax.random.fold_in(self._sr_base_key, epoch),
                 )
                 train_err = float(mean_loss)
             else:
@@ -455,8 +478,11 @@ class Trainer:
                 n_batches = 0
                 for batch in train_loader:
                     batch = self._put(batch)
+                    sr_key = jax.random.fold_in(
+                        self._sr_base_key, epoch * 100003 + n_batches
+                    )
                     self.params, self.opt_state, loss = train_step(
-                        self.params, self.opt_state, batch, lr_scale
+                        self.params, self.opt_state, batch, lr_scale, sr_key
                     )
                     train_err += float(loss)
                     n_batches += 1
