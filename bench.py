@@ -134,6 +134,11 @@ def main():
     p.add_argument("--batch", type=int, default=BATCH,
                    help="batch size (throughput scales reported per-step "
                         "at the reference batch of 8 by default)")
+    p.add_argument("--sr", action="store_true",
+                   help="all-bf16 master params updated with stochastic "
+                        "rounding (apply_updates_sr): removes the "
+                        "remaining f32 param read+write from the update "
+                        "phase")
     args = p.parse_args()
 
     # The shared TPU worker can be down for an hour-plus. Probe it from a
@@ -234,7 +239,11 @@ def main():
     def to_half(a):
         return a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a
 
-    def train_step(params, opt_state, xx, yy):
+    if args.sr:
+        params = jax.tree_util.tree_map(to_half, params)
+        opt_state = opt.init(params)
+
+    def train_step(params, opt_state, xx, yy, sr_key=None):
         def loss_fn(p):
             p = jax.tree_util.tree_map(to_half, p)
             out = model.apply({"params": p}, to_half(xx))
@@ -242,9 +251,30 @@ def main():
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
+        if sr_key is not None:
+            from neuraloperator_tpu.training.optimizer import (
+                apply_updates_sr,
+            )
+
+            return (
+                apply_updates_sr(params, updates, sr_key),
+                opt_state,
+                loss,
+            )
         return optax.apply_updates(params, updates), opt_state, loss
 
-    step = jax.jit(train_step)
+    jit_step = jax.jit(train_step)
+    sr_base = jax.random.PRNGKey(0)
+    sr_counter = [0]
+
+    def step(params, opt_state, xx, yy):
+        if not args.sr:
+            return jit_step(params, opt_state, xx, yy)
+        sr_counter[0] += 1
+        return jit_step(
+            params, opt_state, xx, yy,
+            jax.random.fold_in(sr_base, sr_counter[0]),
+        )
 
     # warmup (compile); transfer the loss to force full completion — on the
     # relayed TPU runtime block_until_ready alone does not wait for compute
@@ -274,8 +304,12 @@ def main():
 
         @jax.jit
         def steps_chain(params, opt_state, xx, yy):
-            def body(_, carry):
+            def body(i, carry):
                 p, s, _ = carry
+                if args.sr:
+                    return train_step(
+                        p, s, xx, yy, jax.random.fold_in(sr_base, i)
+                    )
                 return train_step(p, s, xx, yy)
 
             return jax.lax.fori_loop(
@@ -325,6 +359,7 @@ def main():
                 "mfu_vs_observed_ceiling": round(achieved / ceiling, 4),
                 "backend": args.backend,
                 "opt_state": args.opt_state,
+                "sr": args.sr,
                 "batch": batch,
                 "block_precision": args.block_precision,
             }
