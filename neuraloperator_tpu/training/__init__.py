@@ -17,4 +17,4 @@ from .patching import MultigridPatching2D, make_patches  # noqa: F401
 from .setup import setup  # noqa: F401
 from .tensor_galore import tensor_galore_adamw  # noqa: F401
 from .profiling import ThroughputMeter, flops_per_fno_step, trace  # noqa: F401
-from .optimizer import reduce_on_plateau  # noqa: F401
+from .optimizer import ema_params, reduce_on_plateau, with_ema  # noqa: F401

@@ -222,6 +222,58 @@ def adamw(
     return tx
 
 
+class EmaState(NamedTuple):
+    inner: object
+    ema: chex.ArrayTree
+
+
+def with_ema(
+    optimizer: optax.GradientTransformation, decay: float = 0.999
+) -> optax.GradientTransformation:
+    """Track a Polyak/EMA copy of the *parameters* inside the optimizer
+    state: ``ema <- decay * ema + (1-decay) * new_params``.
+
+    No reference counterpart (the reference trains raw params only);
+    standard practice for rollout-sensitive operator models. Composes
+    with ``Trainer`` (no trainer changes needed — the EMA rides the
+    optimizer state, so checkpoints, donation and ZeRO-1 sharding of the
+    state all apply to it automatically). Read it back with
+    :func:`ema_params`.
+    """
+    def init_fn(params):
+        return EmaState(
+            inner=optimizer.init(params),
+            ema=jax.tree_util.tree_map(jnp.array, params),
+        )
+
+    def update_fn(updates, state, params=None, **extra):
+        new_updates, inner = optimizer.update(
+            updates, state.inner, params, **extra
+        )
+        ema = jax.tree_util.tree_map(
+            lambda e, p, u: (
+                decay * e + (1 - decay) * (p + u.astype(p.dtype))
+            ).astype(e.dtype),
+            state.ema, params, new_updates,
+        )
+        return new_updates, EmaState(inner=inner, ema=ema)
+
+    tx = optax.GradientTransformation(init_fn, update_fn)
+    if getattr(optimizer, "needs_value", False):
+        tx.needs_value = True
+    return tx
+
+
+def ema_params(opt_state):
+    """Extract the EMA parameter pytree from a :func:`with_ema` state."""
+    if not isinstance(opt_state, EmaState):
+        raise TypeError(
+            "opt_state does not carry an EMA — build the optimizer with "
+            "with_ema(...)"
+        )
+    return opt_state.ema
+
+
 class StepLR:
     """Per-epoch stepped LR decay honored by ``Trainer.train(scheduler=...)``.
 
