@@ -140,3 +140,33 @@ def test_trainer_zero_sharding_matches():
             np.asarray(z), np.asarray(ref), atol=1e-6,
             err_msg=jax.tree_util.keystr(k),
         )
+
+
+def test_zero_shards_ema_state():
+    """with_ema rides the optimizer state, so ZeRO-1 shards the EMA copy
+    too — each device stores 1/8 of every shardable EMA leaf."""
+    from neuraloperator_tpu.training.optimizer import ema_params, with_ema
+
+    model, params, x, y = _toy_problem()
+    mesh = mesh_lib.init(model_parallel_size=1)
+    opt = with_ema(optax.adamw(1e-3), decay=0.9)
+
+    state0 = opt.init(params)
+    specs = zero_lib.zero_specs(state0, mesh)
+    os_z = zero_lib.shard_opt_state(state0, mesh)
+
+    with mesh:
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+        p_z, os_out, loss = _run_steps(
+            model, params, opt, os_z, xs, y, 2, specs=specs, mesh=mesh
+        )
+    assert np.isfinite(float(loss))
+
+    ema = ema_params(os_out)
+    n_sharded = 0
+    for leaf in jax.tree_util.tree_leaves(ema):
+        spec = leaf.sharding.spec
+        if any(s == "data" for s in spec):
+            assert leaf.addressable_shards[0].data.size == leaf.size // 8
+            n_sharded += 1
+    assert n_sharded > 0
