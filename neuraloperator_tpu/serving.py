@@ -38,7 +38,59 @@ __all__ = [
     "CompiledForward",
     "export_forward",
     "load_exported",
+    "quantize_params_int8",
 ]
+
+
+# leaves smaller than this stay in full precision: biases and norm
+# scales are a rounding error of the weight bytes but carry outsized
+# numerical sensitivity
+_QUANT_MIN_SIZE = 4096
+
+
+def quantize_params_int8(params, dequant_dtype=jnp.bfloat16):
+    """Weight-only int8 quantization for serving.
+
+    Each floating leaf with >= ``_QUANT_MIN_SIZE`` elements is stored as
+    symmetric per-row int8 (absmax scale over the last axis); small
+    leaves (biases, norms) stay untouched. Returns a pytree of
+    ``(int8_or_raw_leaf, scale_or_None)`` pairs;
+    :func:`dequantize_params` reverses it inside the compiled forward.
+    4x less weight HBM than f32 (2x vs bf16) at the cost of per-row
+    rounding error; measure quality per-model before shipping
+    (``CompiledForward(quantize='int8')`` makes the A/B a one-liner).
+    """
+    def q(a):
+        if (
+            not jnp.issubdtype(a.dtype, jnp.floating)
+            or a.size < _QUANT_MIN_SIZE
+            or a.ndim < 1
+        ):
+            return a, None
+        s = jnp.max(jnp.abs(a), axis=-1, keepdims=True).astype(jnp.float32)
+        s = jnp.maximum(s, 1e-30)
+        qa = jnp.clip(
+            jnp.round(a.astype(jnp.float32) / s * 127.0), -127, 127
+        ).astype(jnp.int8)
+        return qa, s
+
+    del dequant_dtype  # recorded at dequant time
+    return jax.tree_util.tree_map(q, params)
+
+
+def dequantize_params(qtree, dequant_dtype=jnp.bfloat16):
+    """Inverse of :func:`quantize_params_int8` (runs inside the compiled
+    forward, so the dequantized copy lives only transiently in VMEM/HBM
+    for the duration of the program)."""
+    def dq(pair):
+        qa, s = pair
+        if s is None:
+            return qa
+        return (qa.astype(jnp.float32) * (s / 127.0)).astype(dequant_dtype)
+
+    return jax.tree_util.tree_map(
+        dq, qtree, is_leaf=lambda x: isinstance(x, tuple)
+    )
 
 
 def _round_up_bucket(n: int, buckets: Sequence[int]) -> int:
@@ -65,6 +117,10 @@ class CompiledForward:
     param_dtype : optionally cast floating params (e.g. ``jnp.bfloat16``
         for weight-halved serving; quality characterization in
         BASELINE.md's mixed-precision study)
+    quantize : ``'int8'`` stores large weight leaves as symmetric
+        per-row int8 (4x less weight HBM than f32) and dequantizes to
+        bf16 inside each compiled program — weight-only quantization;
+        activations/matmuls stay bf16. A/B output error before shipping.
     postprocess_fn : optional function applied to the model output
         *inside* the compiled program — use it to bake the training-time
         decoder into the endpoint (e.g.
@@ -91,6 +147,7 @@ class CompiledForward:
         example_input,
         batch_sizes: Sequence[int] = (1, 8),
         param_dtype=None,
+        quantize: Optional[str] = None,
         postprocess_fn: Optional[Callable] = None,
         mesh=None,
         **apply_kwargs,
@@ -102,6 +159,14 @@ class CompiledForward:
                 else a,
                 params,
             )
+        dequant = None
+        if quantize is not None:
+            if quantize != "int8":
+                raise ValueError(f"unsupported quantize={quantize!r}")
+            # weight-only int8: stored as (int8, per-row scale) pairs,
+            # dequantized to bf16 inside each compiled program
+            params = quantize_params_int8(params)
+            dequant = lambda p: dequantize_params(p)  # noqa: E731
         self.batch_sizes = tuple(sorted(int(b) for b in batch_sizes))
         feat_shape = tuple(example_input.shape[1:])
         dtype = example_input.dtype
@@ -123,6 +188,8 @@ class CompiledForward:
         self._params = jax.device_put(params)
 
         def fwd(p, x):
+            if dequant is not None:
+                p = dequant(p)
             out = model.apply({"params": p}, x, **apply_kwargs)
             return postprocess_fn(out) if postprocess_fn is not None else out
 

@@ -175,3 +175,43 @@ def test_compiled_forward_multi_device_dp(small_fno):
                                rtol=1e-5, atol=1e-6)
     with pytest.raises(ValueError, match="not divisible"):
         CompiledForward(model, params, x, batch_sizes=(3,), mesh=mesh)
+
+
+def test_compiled_forward_int8_quantized(small_fno):
+    from neuraloperator_tpu.serving import (
+        dequantize_params,
+        quantize_params_int8,
+    )
+
+    model, params, x = small_fno
+    ref = np.asarray(model.apply({"params": params}, x))
+
+    srv = CompiledForward(model, params, x, batch_sizes=(4,),
+                          quantize="int8")
+    out = np.asarray(srv(x), np.float32)
+    # weight-only int8 + bf16 compute: a few % relative output error
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert rel < 0.05, rel
+
+    # the stored tree really is int8 for the large leaves
+    qtree = quantize_params_int8(params)
+    kinds = [
+        pair[0].dtype
+        for pair in jax.tree_util.tree_leaves(
+            qtree, is_leaf=lambda t: isinstance(t, tuple)
+        )
+        if pair[1] is not None
+    ]
+    assert kinds and all(d == jnp.int8 for d in kinds)
+
+    # dequantize inverts up to per-row quantization step
+    deq = dequantize_params(qtree, jnp.float32)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(params),
+        jax.tree_util.tree_leaves_with_path(deq),
+    ):
+        step = np.max(np.abs(np.asarray(a)), axis=-1, keepdims=True) / 127.0
+        assert np.all(
+            np.abs(np.asarray(a) - np.asarray(b, np.float32))
+            <= step + 1e-7
+        ), jax.tree_util.keystr(path)
