@@ -117,3 +117,27 @@ def test_trainer_sr_bf16_weights_trains():
     trainer_plain = Trainer(model=model, n_epochs=8)
     metrics_plain = trainer_plain.train(loader, {"test": loader}, adamw(5e-3))
     assert metrics["train_err"] < 2 * metrics_plain["train_err"] + 1e-3
+
+
+def test_trainer_sr_epoch_scan_path():
+    """SR key threading through the device_dataset one-program-per-epoch
+    scan (fold_in over the scan index)."""
+    model = FNO(
+        n_modes=(4, 4), in_channels=1, out_channels=1, hidden_channels=8,
+        n_layers=2, weight_dtype="bfloat16",
+    )
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(16, 1, 8, 8)).astype(np.float32)
+    y = (2.0 * x).astype(np.float32)
+    loader = [
+        {"x": x[i : i + 4], "y": y[i : i + 4]} for i in range(0, 16, 4)
+    ]
+    trainer = Trainer(model=model, n_epochs=4, stochastic_rounding=True)
+    metrics = trainer.train(
+        loader, {"test": loader}, adamw(3e-3), device_dataset=True,
+    )
+    assert np.isfinite(metrics["train_err"])
+    assert any(
+        leaf.dtype == jnp.bfloat16
+        for leaf in jax.tree_util.tree_leaves(trainer.params)
+    )
