@@ -112,3 +112,72 @@ def test_pipelined_fno_validates_config():
     uparams = unrolled.init(jax.random.PRNGKey(0), x)["params"]
     with pytest.raises(ValueError, match="scan_layers"):
         pipelined_fno_forward(unrolled, uparams, x, mesh, n_microbatches=2)
+
+
+def test_pipeline_with_zero_train_step(scan_fno_and_data):
+    """dp x pp x ZeRO-1 composed: pipelined forward over 'model', grads
+    reduced over 'data', optimizer state sharded 1/2 over 'data' — the
+    parameter trajectory must match the plain single-device step."""
+    import optax
+
+    from neuraloperator_tpu.parallel import zero as zero_lib
+
+    model, params, x = scan_fno_and_data
+    mesh = mesh_lib.init(model_parallel_size=4)  # 2 data x 4 stages
+    y = jax.random.normal(jax.random.PRNGKey(3), (8, 1, 8, 8))
+    opt = optax.adamw(1e-3)
+
+    state0 = opt.init(params)
+    specs = zero_lib.zero_specs(state0, mesh)
+
+    def make_step(pipelined):
+        def step(p, os, xx, yy):
+            def loss_fn(p):
+                out = (
+                    pipelined_fno_forward(
+                        model, p, xx, mesh, n_microbatches=4
+                    )
+                    if pipelined
+                    else model.apply({"params": p}, xx)
+                )
+                return jnp.mean((out - yy) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, os = opt.update(grads, os, p)
+            if pipelined:
+                os = zero_lib.constrain(os, specs, mesh)
+            import optax as _optax
+
+            return _optax.apply_updates(p, updates), os, loss
+
+        return jax.jit(step)
+
+    p_ref, os_ref, _ = make_step(False)(params, state0, x, y)
+    p_ref, _, loss_ref = make_step(False)(p_ref, os_ref, x, y)
+
+    with mesh:
+        os_z = zero_lib.shard_opt_state(opt.init(params), mesh)
+        pstep = make_step(True)
+        p_z, os_z, _ = pstep(params, os_z, x, y)
+        p_z, os_z, loss_z = pstep(p_z, os_z, x, y)
+
+    np.testing.assert_allclose(float(loss_z), float(loss_ref), rtol=1e-5)
+    for (k, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(p_ref),
+        jax.tree_util.tree_leaves_with_path(p_z),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-4,
+            err_msg=jax.tree_util.keystr(k),
+        )
+
+    # the sharded state is genuinely 1/2 per device on 'data'
+    n_sharded = sum(
+        1
+        for leaf, spec in zip(
+            jax.tree_util.tree_leaves(os_z), jax.tree_util.tree_leaves(specs)
+        )
+        if any(s == "data" for s in spec)
+        and leaf.addressable_shards[0].data.size == leaf.size // 2
+    )
+    assert n_sharded > 0
