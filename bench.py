@@ -343,12 +343,36 @@ def main():
         float(infer_chain(params, x)[0, 0, 0, 0])
         infer_ms = (time.perf_counter() - t0) / k_inner * 1e3
 
+        # samples/s at batch 16: throughput saturates at ~700 samples/s
+        # for batch >= 16 on this model shape (BASELINE.md round-3 sweep) —
+        # that saturation point is the honest capacity metric for a
+        # bandwidth-bound 64-channel model, so it is published in every
+        # bench run next to the reference-batch steps/s headline.
+        samples16 = None
+        if batch == 8:
+            x16 = jnp.asarray(rng.randn(16, 1, RES, RES), jnp.float32)
+            y16 = jnp.asarray(rng.randn(16, 1, RES, RES), jnp.float32)
+            p16, s16, loss16 = step(params, opt_state, x16, y16)
+            float(loss16)  # compile + barrier
+            n16 = max(args.iters // 2, 10)
+            t0 = time.perf_counter()
+            for _ in range(n16):
+                p16, s16, loss16 = step(p16, s16, x16, y16)
+            float(loss16)
+            samples16 = 16 * n16 / (time.perf_counter() - t0)
+
         conv_ms = bench_spectral_conv(args.block_precision)
         ceiling = measure_matmul_ceiling()
         flops = analytic_step_flops(batch)
         achieved = flops * device_steps_per_sec / 1e12
         result.update(
             {
+                "samples_per_sec": round(steps_per_sec * batch, 1),
+                **(
+                    {"samples_per_sec_batch16": round(samples16, 1)}
+                    if samples16 is not None
+                    else {}
+                ),
                 "device_steps_per_sec": round(device_steps_per_sec, 3),
                 "infer_ms_batch": round(infer_ms, 3),
                 "infer_samples_per_sec": round(batch / infer_ms * 1e3, 1),

@@ -16,4 +16,4 @@ from .fnogno import FNOGNO  # noqa: F401
 from .local_no import LocalNO  # noqa: F401
 from .rno import RNO  # noqa: F401
 from .otno import OTNO  # noqa: F401
-from .codano import CODANO  # noqa: F401
+from .codano import CODANO, extend_variable_ids  # noqa: F401

@@ -299,3 +299,40 @@ class CODANO(nn.Module):
         if self.enable_cls_token:
             x = x[:, self.output_variable_codimension:]
         return x
+
+
+def extend_variable_ids(
+    model: CODANO,
+    params,
+    new_variable_ids,
+    rng: jax.Array,
+) -> Tuple[CODANO, dict]:
+    """Grow a trained CODANO to unseen PDE variables.
+
+    Parity with reference ``_extend_positional_encoding(new_var_ids)``
+    (``neuralop/models/codano.py:351-372``), which mutates the torch module
+    in place. Flax params are immutable, so this is an explicit-function
+    design: returns ``(new_model, new_params)`` where ``new_model`` declares
+    the union variable set and ``new_params`` contains a freshly initialized
+    Fourier-space positional encoding per added id — every existing
+    parameter leaf is reused unchanged, so outputs for already-known
+    variables are bit-identical.
+    """
+    assert model.use_positional_encoding and model.variable_ids is not None, (
+        "extend_variable_ids requires use_positional_encoding=True"
+    )
+    added = tuple(
+        v for v in new_variable_ids if v not in model.variable_ids
+    )
+    new_model = model.clone(
+        variable_ids=tuple(model.variable_ids) + added
+    )
+    # unfreeze defensively: params may be a FrozenDict or plain dict
+    import flax.core
+
+    new_params = dict(flax.core.unfreeze(params))
+    shape = (2, model.positional_encoding_dim, *model._pe_modes)
+    init = nn.initializers.normal(1.0)
+    for i, vid in enumerate(added):
+        new_params[f"pos_enc_{vid}"] = init(jax.random.fold_in(rng, i), shape)
+    return new_model, new_params

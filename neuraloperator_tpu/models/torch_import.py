@@ -38,6 +38,7 @@ import numpy as np
 
 __all__ = [
     "convert_dense_fno_state_dict",
+    "convert_reference_state_dict",
     "load_reference_fno_checkpoint",
 ]
 
@@ -119,11 +120,81 @@ _PATTERNS = [
     (re.compile(r"^fno_blocks\.channel_mlp\.(\d+)\.fcs\.(\d+)\.bias$"),
      lambda m: ("fno_blocks", f"channel_mlp_{m.group(1)}", f"b{m.group(2)}"),
      lambda a: a.astype(np.float32)),
+    # ---- UNO: per-layer FNOBlocks modules `fno_blocks.{i}.*` + horizontal
+    # skips (reference models/uno.py:271-312) -> our `block_{i}/*`,
+    # `horizontal_skip_{i}` (models/uno.py) ----
+    (re.compile(r"^fno_blocks\.(\d+)\.convs\.(\d+)\.weight(?:\.tensor)?$"),
+     lambda m: (f"block_{m.group(1)}", f"conv_{m.group(2)}", "w_weight"),
+     _complex_to_storage),
+    (re.compile(r"^fno_blocks\.(\d+)\.convs\.(\d+)\.weight\.core$"),
+     lambda m: (f"block_{m.group(1)}", f"conv_{m.group(2)}", "w_core"),
+     _complex_to_storage),
+    (re.compile(r"^fno_blocks\.(\d+)\.convs\.(\d+)\.weight\.weights$"),
+     lambda m: (f"block_{m.group(1)}", f"conv_{m.group(2)}", "w_lambdas"),
+     _complex_to_storage),
+    (re.compile(r"^fno_blocks\.(\d+)\.convs\.(\d+)\.weight\.factors\.(\d+)$"),
+     lambda m: (f"block_{m.group(1)}", f"conv_{m.group(2)}",
+                f"w_factor_{m.group(3)}"),
+     _complex_to_storage),
+    (re.compile(r"^fno_blocks\.(\d+)\.convs\.(\d+)\.bias$"),
+     lambda m: (f"block_{m.group(1)}", f"conv_{m.group(2)}", "bias"),
+     lambda a: a.astype(np.float32)),
+    (re.compile(r"^fno_blocks\.(\d+)\.fno_skips\.(\d+)\.conv\.weight$"),
+     lambda m: (f"block_{m.group(1)}", f"fno_skip_{m.group(2)}", "weight"),
+     lambda a: a.squeeze(-1).astype(np.float32)),
+    (re.compile(r"^fno_blocks\.(\d+)\.fno_skips\.(\d+)\.(weight|bias)$"),
+     lambda m: (f"block_{m.group(1)}", f"fno_skip_{m.group(2)}", m.group(3)),
+     lambda a: a.astype(np.float32)),
+    (re.compile(
+        r"^fno_blocks\.(\d+)\.channel_mlp_skips\.(\d+)\.conv\.weight$"),
+     lambda m: (f"block_{m.group(1)}", f"channel_mlp_skip_{m.group(2)}",
+                "weight"),
+     lambda a: a.squeeze(-1).astype(np.float32)),
+    (re.compile(r"^fno_blocks\.(\d+)\.channel_mlp_skips\.(\d+)\.(weight|bias)$"),
+     lambda m: (f"block_{m.group(1)}", f"channel_mlp_skip_{m.group(2)}",
+                m.group(3)),
+     lambda a: a.astype(np.float32)),
+    (re.compile(r"^fno_blocks\.(\d+)\.channel_mlp\.(\d+)\.fcs\.(\d+)\.weight$"),
+     lambda m: (f"block_{m.group(1)}", f"channel_mlp_{m.group(2)}",
+                f"w{m.group(3)}"),
+     lambda a: a.squeeze(-1).astype(np.float32)),
+    (re.compile(r"^fno_blocks\.(\d+)\.channel_mlp\.(\d+)\.fcs\.(\d+)\.bias$"),
+     lambda m: (f"block_{m.group(1)}", f"channel_mlp_{m.group(2)}",
+                f"b{m.group(3)}"),
+     lambda a: a.astype(np.float32)),
+    (re.compile(r"^horizontal_skips\.(\d+)\.conv\.weight$"),
+     lambda m: (f"horizontal_skip_{m.group(1)}", "weight"),
+     lambda a: a.squeeze(-1).astype(np.float32)),
+    (re.compile(r"^horizontal_skips\.(\d+)\.(weight|bias)$"),
+     lambda m: (f"horizontal_skip_{m.group(1)}", m.group(2)),
+     lambda a: a.astype(np.float32)),
+    # ---- GINO: GNOBlock kernel MLPs are torch Linear stacks
+    # (`gno_{in,out}.integral_transform.channel_mlp.fcs.{j}`, reference
+    # models/gino.py:296-378, layers/channel_mlp.py:122-187); flax Dense
+    # kernels are (in, out) = torch weight transposed ----
+    (re.compile(
+        r"^(gno_in|gno_out)\.integral_transform\.channel_mlp\.fcs\.(\d+)"
+        r"\.weight$"),
+     lambda m: (m.group(1), "integral_transform", "channel_mlp",
+                f"fc{m.group(2)}", "kernel"),
+     lambda a: a.T.astype(np.float32)),
+    (re.compile(
+        r"^(gno_in|gno_out)\.integral_transform\.channel_mlp\.fcs\.(\d+)"
+        r"\.bias$"),
+     lambda m: (m.group(1), "integral_transform", "channel_mlp",
+                f"fc{m.group(2)}", "bias"),
+     lambda a: a.astype(np.float32)),
 ]
 
 
 def convert_dense_fno_state_dict(state_dict: Dict, params_template=None):
-    """Convert a reference dense-FNO ``state_dict`` into flax params.
+    """Convert a reference ``state_dict`` into flax params.
+
+    Covers the FNO family (dense + tltorch-factorized spectral weights),
+    SFNO (same key layout; dhconv weights ``(in, out, l_modes)``, reference
+    ``spherical_convolution.py:364-388``), UNO (per-layer FNOBlocks +
+    horizontal skips, reference ``uno.py:271-312``), and GINO (GNO kernel
+    Linear stacks + latent FNOBlocks, reference ``gino.py:296-378``).
 
     ``params_template`` (our ``model.init(...)['params']`` tree), when
     given, is used to validate that every converted leaf lands on an
@@ -145,8 +216,8 @@ def convert_dense_fno_state_dict(state_dict: Dict, params_template=None):
             unmatched.append(key)
     if unmatched:
         raise ValueError(
-            "unconverted reference state-dict keys (dense or tltorch-"
-            f"factorized FNO expected): {unmatched}"
+            "unconverted reference state-dict keys (FNO/TFNO/SFNO/UNO/GINO "
+            f"layouts expected): {unmatched}"
         )
 
     if params_template is not None:
@@ -172,6 +243,11 @@ def convert_dense_fno_state_dict(state_dict: Dict, params_template=None):
         leaves = [check(path, tmpl) for path, tmpl in flat]
         return jax.tree_util.tree_unflatten(treedef, leaves)
     return out
+
+
+# the importer covers FNO/TFNO/SFNO/UNO/GINO — alias under the family-
+# neutral name
+convert_reference_state_dict = convert_dense_fno_state_dict
 
 
 def load_reference_fno_checkpoint(save_folder, save_name, params_template=None):

@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from neuraloperator_tpu.layers.coda_layer import CODALayer
-from neuraloperator_tpu.models import CODANO
+from neuraloperator_tpu.models import CODANO, extend_variable_ids
 
 
 def test_coda_layer_forward():
@@ -78,3 +78,61 @@ def test_codano_positional_encoding_and_cls():
     )
     y = model.apply(variables, x, input_variable_ids=["u", "v"])
     assert y.shape == (1, 2, 12, 12)
+
+
+def test_codano_extend_variable_ids():
+    """Runtime variable-set extension (reference codano.py:351-372).
+
+    Extending a trained model to unseen variable ids must (a) leave
+    outputs for the original variables bit-identical, (b) accept the new
+    ids in forward, (c) add exactly one pos_enc param per new id.
+    """
+    model = CODANO(
+        n_modes=((4, 4),) * 2,
+        n_layers=2,
+        hidden_variable_codimension=4,
+        lifting_channels=8,
+        projection_channels=8,
+        use_positional_encoding=True,
+        positional_encoding_dim=2,
+        variable_ids=("u", "v"),
+        domain_padding=None,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 12, 12))
+    params = model.init(
+        jax.random.PRNGKey(1), x, input_variable_ids=["u", "v"]
+    )["params"]
+    y_before = model.apply(
+        {"params": params}, x, input_variable_ids=["u", "v"]
+    )
+
+    ext_model, ext_params = extend_variable_ids(
+        model, params, ["w", "v"], jax.random.PRNGKey(2)
+    )
+    assert ext_model.variable_ids == ("u", "v", "w")
+    assert set(ext_params) - set(params) == {"pos_enc_w"}
+
+    # (a) old-variable outputs unchanged (same leaves, same graph)
+    y_after = ext_model.apply(
+        {"params": ext_params}, x, input_variable_ids=["u", "v"]
+    )
+    np.testing.assert_array_equal(np.asarray(y_before), np.asarray(y_after))
+
+    # (b) forward over the extended set, incl. the new id
+    x3 = jax.random.normal(jax.random.PRNGKey(3), (1, 3, 12, 12))
+    y3 = ext_model.apply(
+        {"params": ext_params}, x3, input_variable_ids=["u", "v", "w"]
+    )
+    assert y3.shape == (1, 3, 12, 12)
+    assert np.all(np.isfinite(np.asarray(y3)))
+
+    # (c) the new encoding is trainable: grads reach it
+    g = jax.grad(
+        lambda p: jnp.sum(
+            ext_model.apply(
+                {"params": p}, x3, input_variable_ids=["u", "v", "w"]
+            )
+            ** 2
+        )
+    )(ext_params)
+    assert float(jnp.max(jnp.abs(g["pos_enc_w"]))) > 0

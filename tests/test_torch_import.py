@@ -214,3 +214,221 @@ def test_factorized_state_dict_roundtrip(factorization):
     out = model.apply({"params": params}, jnp.asarray(
         np.random.RandomState(5).randn(1, 3, 16, 16), jnp.float32))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sfno_state_dict_roundtrip():
+    """SFNO (SphericalConv dhconv) reference layout converts.
+
+    Reference SFNO = FNO with conv_module=SphericalConv; complex weights
+    (in, out, l_modes) stored by tltorch ComplexDense as view_as_real
+    (reference spherical_convolution.py:364-388, sfno.py:10).
+    """
+    from neuraloperator_tpu.models import SFNO
+
+    model = SFNO(
+        n_modes=(6, 6), in_channels=1, out_channels=1,
+        hidden_channels=HID, n_layers=2,
+    )
+    x = jnp.zeros((1, 1, 8, 16))
+    template = model.init(jax.random.PRNGKey(0), x)["params"]
+
+    rng = np.random.RandomState(7)
+
+    def conv1d(i, o):
+        return torch.from_numpy(rng.randn(o, i, 1).astype(np.float32))
+
+    sd = {}
+    sd["lifting.fcs.0.weight"] = conv1d(3, 2 * HID)
+    sd["lifting.fcs.0.bias"] = torch.from_numpy(
+        rng.randn(2 * HID).astype(np.float32))
+    sd["lifting.fcs.1.weight"] = conv1d(2 * HID, HID)
+    sd["lifting.fcs.1.bias"] = torch.from_numpy(
+        rng.randn(HID).astype(np.float32))
+    sd["projection.fcs.0.weight"] = conv1d(HID, 2 * HID)
+    sd["projection.fcs.0.bias"] = torch.from_numpy(
+        rng.randn(2 * HID).astype(np.float32))
+    sd["projection.fcs.1.weight"] = conv1d(2 * HID, 1)
+    sd["projection.fcs.1.bias"] = torch.from_numpy(
+        rng.randn(1).astype(np.float32))
+    for i in range(2):
+        # dhconv weight, view_as_real trailing-2 layout
+        sd[f"fno_blocks.convs.{i}.weight.tensor"] = torch.from_numpy(
+            (0.1 * rng.randn(HID, HID, 6, 2)).astype(np.float32))
+        sd[f"fno_blocks.convs.{i}.bias"] = torch.from_numpy(
+            rng.randn(HID, 1, 1).astype(np.float32))
+        sd[f"fno_blocks.fno_skips.{i}.conv.weight"] = conv1d(HID, HID)
+        sd[f"fno_blocks.channel_mlp_skips.{i}.weight"] = torch.from_numpy(
+            rng.randn(1, HID, 1, 1).astype(np.float32))
+        sd[f"fno_blocks.channel_mlp.{i}.fcs.0.weight"] = conv1d(HID, HID // 2)
+        sd[f"fno_blocks.channel_mlp.{i}.fcs.0.bias"] = torch.from_numpy(
+            rng.randn(HID // 2).astype(np.float32))
+        sd[f"fno_blocks.channel_mlp.{i}.fcs.1.weight"] = conv1d(HID // 2, HID)
+        sd[f"fno_blocks.channel_mlp.{i}.fcs.1.bias"] = torch.from_numpy(
+            rng.randn(HID).astype(np.float32))
+
+    params = convert_dense_fno_state_dict(sd, template)
+    # view_as_real -> split-real mapping is exact
+    w_t = sd["fno_blocks.convs.0.weight.tensor"].numpy()
+    np.testing.assert_array_equal(
+        np.asarray(params["fno_blocks"]["conv_0"]["w_weight"]),
+        np.moveaxis(w_t, -1, 0))
+    out = model.apply({"params": params}, jnp.asarray(
+        np.random.RandomState(8).randn(1, 1, 8, 16), jnp.float32))
+    assert out.shape == (1, 1, 8, 16)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_uno_state_dict_roundtrip():
+    """UNO reference layout (`fno_blocks.{i}.*` + `horizontal_skips.{i}`)
+    converts onto our block_{i}/horizontal_skip_{i} tree
+    (reference uno.py:271-312)."""
+    from neuraloperator_tpu.models import UNO
+
+    model = UNO(
+        in_channels=1, out_channels=1, hidden_channels=8,
+        lifting_channels=16, projection_channels=16, n_layers=3,
+        uno_out_channels=(8, 8, 8), uno_n_modes=((4, 4),) * 3,
+        uno_scalings=((1, 1), (0.5, 0.5), (2, 2)),
+        channel_mlp_skip="linear",
+    )
+    x = jnp.zeros((1, 1, 16, 16))
+    template = model.init(jax.random.PRNGKey(0), x)["params"]
+
+    rng = np.random.RandomState(9)
+
+    def conv1d(i, o):
+        return torch.from_numpy(rng.randn(o, i, 1).astype(np.float32))
+
+    def vec(n):
+        return torch.from_numpy(rng.randn(n).astype(np.float32))
+
+    sd = {
+        "lifting.fcs.0.weight": conv1d(3, 16),
+        "lifting.fcs.0.bias": vec(16),
+        "lifting.fcs.1.weight": conv1d(16, 8),
+        "lifting.fcs.1.bias": vec(8),
+        "projection.fcs.0.weight": conv1d(8, 16),
+        "projection.fcs.0.bias": vec(16),
+        "projection.fcs.1.weight": conv1d(16, 1),
+        "projection.fcs.1.bias": vec(1),
+        # horizontal skip from layer 0 to layer 2 (linear)
+        "horizontal_skips.0.conv.weight": conv1d(8, 8),
+    }
+    in_chs = [8, 8, 16]  # block 2 takes the concat of skip + previous
+    for i, in_ch in enumerate(in_chs):
+        w = 0.1 * (rng.randn(in_ch, 8, 4, 3)
+                   + 1j * rng.randn(in_ch, 8, 4, 3))
+        sd[f"fno_blocks.{i}.convs.0.weight.tensor"] = torch.from_numpy(
+            w.astype(np.complex64))
+        sd[f"fno_blocks.{i}.convs.0.bias"] = torch.from_numpy(
+            rng.randn(8, 1, 1).astype(np.float32))
+        sd[f"fno_blocks.{i}.fno_skips.0.conv.weight"] = conv1d(in_ch, 8)
+        sd[f"fno_blocks.{i}.channel_mlp_skips.0.conv.weight"] = conv1d(
+            in_ch, 8)
+        sd[f"fno_blocks.{i}.channel_mlp.0.fcs.0.weight"] = conv1d(8, 4)
+        sd[f"fno_blocks.{i}.channel_mlp.0.fcs.0.bias"] = vec(4)
+        sd[f"fno_blocks.{i}.channel_mlp.0.fcs.1.weight"] = conv1d(4, 8)
+        sd[f"fno_blocks.{i}.channel_mlp.0.fcs.1.bias"] = vec(8)
+
+    params = convert_dense_fno_state_dict(sd, template)
+    np.testing.assert_array_equal(
+        np.asarray(params["horizontal_skip_0"]["weight"]),
+        sd["horizontal_skips.0.conv.weight"].numpy().squeeze(-1))
+    out = model.apply({"params": params}, jnp.asarray(
+        np.random.RandomState(10).randn(1, 1, 16, 16), jnp.float32))
+    assert out.shape == (1, 1, 16, 16)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_gino_state_dict_roundtrip():
+    """GINO reference layout (GNO Linear kernel MLPs + latent FNOBlocks)
+    converts; torch Linear weights transpose onto flax Dense kernels
+    (reference gino.py:296-378, channel_mlp.py:122-187)."""
+    from neuraloperator_tpu.layers.neighbor_search import (
+        padded_neighbor_search,
+    )
+    from neuraloperator_tpu.models import GINO
+
+    rng_np = np.random.RandomState(8)
+    n_in, n_out, d3 = 24, 8, 3
+    input_geom = jnp.asarray(rng_np.rand(1, n_in, d3), jnp.float32)
+    axes = [jnp.linspace(0, 1, 4)] * d3
+    latent_queries = jnp.stack(
+        jnp.meshgrid(*axes, indexing="ij"), axis=-1)[None]
+    output_queries = jnp.asarray(rng_np.rand(1, n_out, d3), jnp.float32)
+    xg = jnp.asarray(rng_np.rand(2, n_in, 2), jnp.float32)
+    lq_flat = latent_queries.reshape(-1, d3)
+    in_nbrs = padded_neighbor_search(input_geom[0], lq_flat, 0.6, 8)
+    out_nbrs = padded_neighbor_search(lq_flat, output_queries[0], 0.6, 8)
+
+    model = GINO(
+        in_channels=2, out_channels=1, gno_coord_dim=d3, in_gno_radius=0.6,
+        out_gno_radius=0.6, fno_in_channels=2, fno_n_modes=(2, 2, 2),
+        fno_hidden_channels=4, fno_n_layers=1, gno_max_neighbors=8,
+        in_gno_channel_mlp_hidden_layers=(8,),
+        out_gno_channel_mlp_hidden_layers=(8,),
+    )
+    gkw = {"in_neighbors": in_nbrs, "out_neighbors": out_nbrs}
+    template = model.init(
+        jax.random.PRNGKey(4), input_geom, latent_queries, output_queries,
+        xg, **gkw,
+    )["params"]
+
+    rng = np.random.RandomState(11)
+
+    def linear(i, o):
+        return torch.from_numpy(rng.randn(o, i).astype(np.float32))
+
+    def conv1d(i, o):
+        return torch.from_numpy(rng.randn(o, i, 1).astype(np.float32))
+
+    def vec(n):
+        return torch.from_numpy(rng.randn(n).astype(np.float32))
+
+    sd = {
+        "lifting.fcs.0.weight": conv1d(2, 8), "lifting.fcs.0.bias": vec(8),
+        "lifting.fcs.1.weight": conv1d(8, 4), "lifting.fcs.1.bias": vec(4),
+        "projection.fcs.0.weight": conv1d(4, 16),
+        "projection.fcs.0.bias": vec(16),
+        "projection.fcs.1.weight": conv1d(16, 1),
+        "projection.fcs.1.bias": vec(1),
+        "fno_blocks.convs.0.bias": torch.from_numpy(
+            rng.randn(4, 1, 1, 1).astype(np.float32)),
+        "fno_blocks.fno_skips.0.conv.weight": conv1d(4, 4),
+        "fno_blocks.channel_mlp_skips.0.weight": torch.from_numpy(
+            rng.randn(1, 4, 1, 1, 1).astype(np.float32)),
+        "fno_blocks.channel_mlp.0.fcs.0.weight": conv1d(4, 2),
+        "fno_blocks.channel_mlp.0.fcs.0.bias": vec(2),
+        "fno_blocks.channel_mlp.0.fcs.1.weight": conv1d(2, 4),
+        "fno_blocks.channel_mlp.0.fcs.1.bias": vec(4),
+    }
+    w = 0.1 * (rng.randn(4, 4, 2, 2, 2) + 1j * rng.randn(4, 4, 2, 2, 2))
+    sd["fno_blocks.convs.0.weight.tensor"] = torch.from_numpy(
+        w.astype(np.complex64))
+    kin = int(template["gno_in"]["integral_transform"]["channel_mlp"][
+        "fc0"]["kernel"].shape[0])
+    kout = int(template["gno_out"]["integral_transform"]["channel_mlp"][
+        "fc0"]["kernel"].shape[0])
+    sd["gno_in.integral_transform.channel_mlp.fcs.0.weight"] = linear(kin, 8)
+    sd["gno_in.integral_transform.channel_mlp.fcs.0.bias"] = vec(8)
+    sd["gno_in.integral_transform.channel_mlp.fcs.1.weight"] = linear(8, 2)
+    sd["gno_in.integral_transform.channel_mlp.fcs.1.bias"] = vec(2)
+    sd["gno_out.integral_transform.channel_mlp.fcs.0.weight"] = linear(
+        kout, 8)
+    sd["gno_out.integral_transform.channel_mlp.fcs.0.bias"] = vec(8)
+    sd["gno_out.integral_transform.channel_mlp.fcs.1.weight"] = linear(8, 4)
+    sd["gno_out.integral_transform.channel_mlp.fcs.1.bias"] = vec(4)
+
+    params = convert_dense_fno_state_dict(sd, template)
+    # torch Linear (out, in) -> flax Dense kernel (in, out)
+    np.testing.assert_array_equal(
+        np.asarray(
+            params["gno_in"]["integral_transform"]["channel_mlp"]["fc0"][
+                "kernel"]),
+        sd["gno_in.integral_transform.channel_mlp.fcs.0.weight"].numpy().T)
+    out = model.apply(
+        {"params": params}, input_geom, latent_queries, output_queries, xg,
+        **gkw,
+    )
+    assert out.shape[-1] == 1
+    assert np.isfinite(np.asarray(out)).all()
