@@ -243,11 +243,16 @@ def main():
         params = jax.tree_util.tree_map(to_half, params)
         opt_state = opt.init(params)
 
-    def train_step(params, opt_state, xx, yy, sr_key=None):
+    # the H1 rel-denominator depends only on the target — precomputed per
+    # sample, exactly as the Trainer's device-dataset path stages it
+    # (one FD stencil pass per step on the difference instead of two)
+    ynorm = jax.jit(h1.ynorm_sq)(y)
+
+    def train_step(params, opt_state, xx, yy, yn, sr_key=None):
         def loss_fn(p):
             p = jax.tree_util.tree_map(to_half, p)
             out = model.apply({"params": p}, to_half(xx))
-            return h1(out.astype(jnp.float32), yy)
+            return h1(out.astype(jnp.float32), yy, ynorm_sq=yn)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
@@ -267,23 +272,23 @@ def main():
     sr_base = jax.random.PRNGKey(0)
     sr_counter = [0]
 
-    def step(params, opt_state, xx, yy):
+    def step(params, opt_state, xx, yy, yn):
         if not args.sr:
-            return jit_step(params, opt_state, xx, yy)
+            return jit_step(params, opt_state, xx, yy, yn)
         sr_counter[0] += 1
         return jit_step(
-            params, opt_state, xx, yy,
+            params, opt_state, xx, yy, yn,
             jax.random.fold_in(sr_base, sr_counter[0]),
         )
 
     # warmup (compile); transfer the loss to force full completion — on the
     # relayed TPU runtime block_until_ready alone does not wait for compute
-    params, opt_state, loss = step(params, opt_state, x, y)
+    params, opt_state, loss = step(params, opt_state, x, y, ynorm)
     float(loss)
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        params, opt_state, loss = step(params, opt_state, x, y)
+        params, opt_state, loss = step(params, opt_state, x, y, ynorm)
     final_loss = float(loss)  # host transfer = true completion barrier
     dt = time.perf_counter() - t0
     assert np.isfinite(final_loss)
@@ -303,23 +308,23 @@ def main():
         k_inner = 30
 
         @jax.jit
-        def steps_chain(params, opt_state, xx, yy):
+        def steps_chain(params, opt_state, xx, yy, yn):
             def body(i, carry):
                 p, s, _ = carry
                 if args.sr:
                     return train_step(
-                        p, s, xx, yy, jax.random.fold_in(sr_base, i)
+                        p, s, xx, yy, yn, jax.random.fold_in(sr_base, i)
                     )
-                return train_step(p, s, xx, yy)
+                return train_step(p, s, xx, yy, yn)
 
             return jax.lax.fori_loop(
                 0, k_inner, body, (params, opt_state, jnp.float32(0))
             )
 
-        params, opt_state, loss = steps_chain(params, opt_state, x, y)
+        params, opt_state, loss = steps_chain(params, opt_state, x, y, ynorm)
         float(loss)  # compile + barrier
         t0 = time.perf_counter()
-        params, opt_state, loss = steps_chain(params, opt_state, x, y)
+        params, opt_state, loss = steps_chain(params, opt_state, x, y, ynorm)
         float(loss)
         device_steps_per_sec = k_inner / (time.perf_counter() - t0)
 
@@ -352,12 +357,13 @@ def main():
         if batch == 8:
             x16 = jnp.asarray(rng.randn(16, 1, RES, RES), jnp.float32)
             y16 = jnp.asarray(rng.randn(16, 1, RES, RES), jnp.float32)
-            p16, s16, loss16 = step(params, opt_state, x16, y16)
+            yn16 = jax.jit(h1.ynorm_sq)(y16)
+            p16, s16, loss16 = step(params, opt_state, x16, y16, yn16)
             float(loss16)  # compile + barrier
             n16 = max(args.iters // 2, 10)
             t0 = time.perf_counter()
             for _ in range(n16):
-                p16, s16, loss16 = step(p16, s16, x16, y16)
+                p16, s16, loss16 = step(p16, s16, x16, y16, yn16)
             float(loss16)
             samples16 = 16 * n16 / (time.perf_counter() - t0)
 

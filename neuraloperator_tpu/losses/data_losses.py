@@ -115,7 +115,7 @@ class H1Loss:
     def reduce_all(self, x):
         return jnp.sum(x) if self.reduction == "sum" else jnp.mean(x)
 
-    def _terms(self, x, y, quadrature):
+    def _term_list(self, x, quadrature):
         fd = FiniteDiff(
             dim=self.d,
             h=quadrature[0] if self.d == 1 else quadrature,
@@ -123,17 +123,35 @@ class H1Loss:
             periodic_in_y=self.periodic[1],
             periodic_in_z=self.periodic[2],
         )
-        tx = [_flatten_spatial(x, self.d)]
-        ty = [_flatten_spatial(y, self.d)]
+        t = [_flatten_spatial(x, self.d)]
         derivs = [fd.dx]
         if self.d >= 2:
             derivs.append(fd.dy)
         if self.d >= 3:
             derivs.append(fd.dz)
         for dfn in derivs:
-            tx.append(_flatten_spatial(dfn(x), self.d))
-            ty.append(_flatten_spatial(dfn(y), self.d))
-        return tx, ty
+            t.append(_flatten_spatial(dfn(x), self.d))
+        return t
+
+    def _terms(self, x, y, quadrature):
+        return self._term_list(x, quadrature), self._term_list(y, quadrature)
+
+    def ynorm_sq(self, y, quadrature=None):
+        """Per-sample squared H1 seminorm sum of ``y`` — the ``rel()``
+        denominator before the root.
+
+        The denominator depends only on the target, so it is constant
+        across training; the Trainer's device-dataset path precomputes it
+        once per staged dataset and passes it back through
+        ``rel(..., ynorm_sq=...)``, removing the y-derivative stencils
+        from every train step (the 0.74 ms H1 slice of the NS-128
+        roofline, BASELINE.md round-3)."""
+        if quadrature is None:
+            quadrature = self.uniform_quadrature(y)
+        elif isinstance(quadrature, float):
+            quadrature = [quadrature] * self.d
+        ty = self._term_list(y, quadrature)
+        return sum(jnp.sum(b ** 2, axis=-1) for b in ty)
 
     def abs(self, x, y, quadrature=None, take_root=True):
         if quadrature is None:
@@ -149,22 +167,30 @@ class H1Loss:
             diff = diff ** 0.5
         return jnp.squeeze(self.reduce_all(diff))
 
-    def rel(self, x, y, quadrature=None, take_root=True):
+    def rel(self, x, y, quadrature=None, take_root=True, ynorm_sq=None):
         if quadrature is None:
             quadrature = self.uniform_quadrature(x)
         elif isinstance(quadrature, float):
             quadrature = [quadrature] * self.d
-        tx, ty = self._terms(x, y, quadrature)
-        diff = sum(jnp.sum((a - b) ** 2, axis=-1) for a, b in zip(tx, ty))
-        ynorm = sum(jnp.sum(b ** 2, axis=-1) for b in ty)
+        if ynorm_sq is None:
+            tx, ty = self._terms(x, y, quadrature)
+            diff = sum(jnp.sum((a - b) ** 2, axis=-1) for a, b in zip(tx, ty))
+            ynorm = sum(jnp.sum(b ** 2, axis=-1) for b in ty)
+        else:
+            # finite differences are linear: d(x) - d(y) = d(x - y), so
+            # with the denominator precomputed only ONE stencil pass (on
+            # the difference) is needed — half the FD work per step
+            td = self._term_list(x - y, quadrature)
+            diff = sum(jnp.sum(a ** 2, axis=-1) for a in td)
+            ynorm = ynorm_sq
         if take_root:
             diff = (diff ** 0.5) / (ynorm ** 0.5 + self.eps)
         else:
             diff = diff / (ynorm + self.eps)
         return jnp.squeeze(self.reduce_all(diff))
 
-    def __call__(self, y_pred, y, quadrature=None, **kwargs):
-        return self.rel(y_pred, y, quadrature=quadrature)
+    def __call__(self, y_pred, y, quadrature=None, ynorm_sq=None, **kwargs):
+        return self.rel(y_pred, y, quadrature=quadrature, ynorm_sq=ynorm_sq)
 
 
 class HdivLoss:

@@ -152,8 +152,13 @@ class Trainer:
             if data_processor is not None:
                 sample = data_processor.preprocess(sample, train=True)
             # dict batches carry all model arguments (reference
-            # trainer.py:487-541 calls self.model(**sample))
-            kwargs = {k: v for k, v in sample.items() if k != "y"}
+            # trainer.py:487-541 calls self.model(**sample)); keys with the
+            # reserved "_loss_" prefix are loss auxiliaries, not model args
+            kwargs = {
+                k: v
+                for k, v in sample.items()
+                if k != "y" and not k.startswith("_loss_")
+            }
             if mixed:
                 apply_params, kwargs = self._half_policy(params, kwargs)
             else:
@@ -194,7 +199,12 @@ class Trainer:
             out = out.astype(jnp.float32)
             if data_processor is not None:
                 out, sample = data_processor.postprocess(out, sample, train=True)
-            loss = training_loss(out, sample["y"])
+            if "_loss_ynorm_sq" in sample:
+                loss = training_loss(
+                    out, sample["y"], ynorm_sq=sample["_loss_ynorm_sq"]
+                )
+            else:
+                loss = training_loss(out, sample["y"])
             if regularizer is not None:
                 # reference accumulates the penalty during forward and adds
                 # it to the batch loss (trainer.py:505-506, :538-539);
@@ -436,6 +446,30 @@ class Trainer:
                 for k, v in stacked.items()
             }
             self._n_device_samples = len(next(iter(device_data.values())))
+            # losses whose rel-denominator depends only on the target
+            # (H1Loss.ynorm_sq) get it precomputed ONCE over the staged
+            # dataset: each train step then runs one FD stencil pass on
+            # the difference instead of two on (pred, target)
+            from ..data.transforms import DefaultDataProcessor
+
+            if (
+                rollout_steps == 1
+                and hasattr(training_loss, "ynorm_sq")
+                and (
+                    self.data_processor is None
+                    or isinstance(self.data_processor, DefaultDataProcessor)
+                )
+            ):
+                dp, tl = self.data_processor, training_loss
+
+                @jax.jit
+                def _ynorms(data):
+                    sample = dict(data)
+                    if dp is not None:
+                        sample = dp.preprocess(sample, train=True)
+                    return tl.ynorm_sq(sample["y"])
+
+                device_data["_loss_ynorm_sq"] = _ynorms(device_data)
             epoch_fn = self._build_epoch_fn(batch_size)
 
         best_metric = float("inf")

@@ -268,3 +268,24 @@ def test_fc_gram_odd_additional_pts_scale():
     interior = slice(10, -10)
     rel = np.abs((du - 3 * xs ** 2)[interior]).max() / 3.0
     assert rel < 2e-2, rel
+
+
+def test_h1_rel_precomputed_ynorm_matches_plain():
+    """rel(..., ynorm_sq=precomputed) == plain rel: d(x)-d(y) = d(x-y)
+    by FD linearity, and the denominator is target-only."""
+    import jax.numpy as jnp
+
+    from neuraloperator_tpu.losses import H1Loss
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(4, 1, 16, 16), jnp.float32)
+    y = jnp.asarray(rng.randn(4, 1, 16, 16), jnp.float32)
+    h1 = H1Loss(d=2)
+    plain = float(h1(x, y))
+    pre = float(h1(x, y, ynorm_sq=h1.ynorm_sq(y)))
+    assert abs(plain - pre) <= 1e-5 * abs(plain)
+    # also across reductions / non-periodic boundaries
+    h1m = H1Loss(d=2, reduction="mean", periodic_in_x=False)
+    assert abs(
+        float(h1m(x, y)) - float(h1m(x, y, ynorm_sq=h1m.ynorm_sq(y)))
+    ) <= 1e-5 * abs(float(h1m(x, y)))

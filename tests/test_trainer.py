@@ -414,3 +414,30 @@ def test_rollout_training_feedback_bridges_normalizers():
     base = run(1, 0.0)
     trained = run(12, 5e-3)
     assert trained < 0.6 * base  # learns the map through feedback
+
+
+def test_device_dataset_h1_ynorm_precompute_matches_loop():
+    """With an H1 training loss, the device-dataset path precomputes the
+    rel-denominator per sample (one FD pass per step on the difference);
+    the training trajectory must match the per-batch loop path."""
+    from neuraloperator_tpu.losses import H1Loss
+
+    ds = _toy_problem()
+    h1 = H1Loss(d=2)
+
+    def run(device_dataset):
+        loader = DataLoader(ds, batch_size=8, shuffle=not device_dataset)
+        model = _small_model()
+        trainer = Trainer(model=model, n_epochs=3, eval_interval=100)
+        trainer.train(
+            loader, {}, adamw(1e-2), training_loss=h1,
+            device_dataset=device_dataset, shuffle_seed=7,
+        )
+        ev = trainer._build_eval_step({"h1": h1})
+        test_loader = DataLoader(ds, batch_size=8)
+        return trainer.evaluate(ev, test_loader, prefix="t")["t_h1"]
+
+    scan_loss = run(True)
+    loop_loss = run(False)
+    # different shuffles, same optimization problem: close final losses
+    assert abs(scan_loss - loop_loss) / loop_loss < 0.15
