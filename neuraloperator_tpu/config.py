@@ -96,6 +96,12 @@ class OptConfig(ConfigBase):
     gamma: float = 0.5
     # bf16 forward/backward with f32 master weights (Trainer mixed_precision)
     mixed_precision: bool = False
+    # bf16 master params updated with unbiased stochastic rounding
+    # (Trainer stochastic_rounding; pair with --model.weight_dtype bfloat16)
+    stochastic_rounding: bool = False
+    # > 0: track an EMA of the params in the optimizer state (with_ema);
+    # training scripts report a second eval on the averaged params
+    ema_decay: float = 0.0
 
 
 @dataclass

@@ -385,6 +385,17 @@ class Trainer:
                 )
         if self.params is None:
             self.params = self._init_params(first_batch)
+            if self.stochastic_rounding:
+                # SR means bf16 MASTER params: cast every f32 leaf so the
+                # update phase carries no f32 parameter copy at all
+                # (matches bench.py --sr; unbiased rounding keeps training
+                # stable — tests/test_stochastic_rounding.py)
+                self.params = jax.tree_util.tree_map(
+                    lambda a: a.astype(jnp.bfloat16)
+                    if a.dtype == jnp.float32
+                    else a,
+                    self.params,
+                )
         self.opt_state = optimizer.init(self.params)
 
         if resume_from_dir is not None and Path(resume_from_dir).exists():

@@ -110,6 +110,10 @@ def main():
         ),
         weight_decay=config.opt.weight_decay,
     )
+    if config.opt.ema_decay > 0:
+        from neuraloperator_tpu.training.optimizer import with_ema
+
+        optimizer = with_ema(optimizer, decay=config.opt.ema_decay)
     h1loss, l2loss = H1Loss(d=2), LpLoss(d=2, p=2)
     trainer = Trainer(
         model=model,
@@ -118,6 +122,7 @@ def main():
         eval_interval=config.eval_interval,
         mesh=mesh,
         mixed_precision=config.opt.mixed_precision,
+        stochastic_rounding=config.opt.stochastic_rounding,
         verbose=config.verbose,
     )
     metrics = trainer.train(
@@ -138,6 +143,15 @@ def main():
             else {}
         ),
     )
+    if config.opt.ema_decay > 0:
+        # second eval on the EMA-averaged params (reference has no EMA;
+        # ours rides the optimizer state — training/optimizer.py::with_ema)
+        from neuraloperator_tpu.training.optimizer import ema_params
+
+        trainer.params = ema_params(trainer.opt_state)
+        ev = trainer._build_eval_step({"h1": h1loss, "l2": l2loss})
+        ema_metrics = trainer.evaluate_all(ev, test_loaders)
+        print("ema:", {k: round(float(v), 5) for k, v in ema_metrics.items()})
     if config.verbose:
         print("final:", {k: round(v, 5) for k, v in metrics.items()})
         print("params:", count_model_params(trainer.params))
