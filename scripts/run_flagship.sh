@@ -1,0 +1,88 @@
+#!/bin/bash
+# Round-4 flagship: wait for the NS-128 dataset, then run the full
+# 600-epoch reference-recipe f32 training (VERDICT next-round #2),
+# babysitting across TPU-worker crashes (resume from periodic saves).
+# Log: /tmp/flagship.log; journal: /tmp/q4_queue.log
+cd /root/repo
+
+DATA=neuraloperator_tpu/data/datasets/data
+FLAG_LOG=/tmp/flagship.log
+FLAG_PID_FILE=/tmp/flagship.pid
+SAVE_DIR=artifacts/ns128_f32
+
+note() { echo "[$(date '+%H:%M:%S')] $*" >> /tmp/q4_queue.log; }
+
+# ---- phase 0: wait for datagen ----
+until [ -f "$DATA/nsforcing_train_128.pt" ] && [ -f "$DATA/nsforcing_test_128.pt" ]; do
+  sleep 60
+done
+note "NS-128 dataset ready"
+# stale round-3 manifest (checkpoints were untracked): a fresh run must
+# not see it as resumable state
+rm -f "$SAVE_DIR/manifest.json"
+
+tpu_ok() {
+  timeout 300 python -c "
+import jax, jax.numpy as jnp
+x = jnp.ones((256,256), jnp.bfloat16)
+assert abs(float((x@x).sum()) - 256**3) < 1e-3
+print('ok')" > /tmp/q4_probe.log 2>&1
+}
+
+flagship_done() {
+  grep -q '^final:' "$FLAG_LOG" 2>/dev/null
+}
+
+launch() {  # launch [--resume]
+  local extra=""
+  [ "$1" = "--resume" ] && extra="--resume_from_dir $SAVE_DIR"
+  nohup timeout 42000 python scripts/train_navier_stokes.py \
+    --data.n_train 10000 --data.train_resolution 128 \
+    --data.n_tests [2000] --data.test_resolutions [128] \
+    --data.test_batch_sizes [16] --data.batch_size 8 \
+    --model.n_modes [64,64] --model.hidden_channels 64 \
+    --model.projection_channel_ratio 4 \
+    --opt.n_epochs 600 --opt.learning_rate 3e-4 --opt.weight_decay 1e-4 \
+    --opt.training_loss h1 --opt.step_size 100 --opt.gamma 0.5 \
+    --opt.mixed_precision false --device_dataset true --eval_interval 25 \
+    --save_dir "$SAVE_DIR" --save_every 25 --save_best 128_l2 \
+    $extra >> "$FLAG_LOG" 2>&1 &
+  echo $! > "$FLAG_PID_FILE"
+  note "flagship launched pid $(cat $FLAG_PID_FILE) $extra"
+}
+
+launch
+sleep 60
+
+# ---- phase 1: babysit ----
+while ! flagship_done; do
+  pid=$(cat "$FLAG_PID_FILE" 2>/dev/null)
+  if [ -n "$pid" ] && kill -0 "$pid" 2>/dev/null; then
+    # stale-RPC guard: if the log hasn't advanced in 30 min while the
+    # process lives, probe the chip from a fresh process; if healthy,
+    # the client is hung on a dead RPC — kill it and resume
+    if [ -f "$FLAG_LOG" ] && \
+       [ $(( $(date +%s) - $(stat -c %Y "$FLAG_LOG") )) -gt 1800 ]; then
+      note "flagship log stale >30min (pid $pid)"
+      if tpu_ok; then
+        note "chip healthy; killing hung pid $pid"
+        kill "$pid"; sleep 10
+      fi
+    fi
+    sleep 120
+    continue
+  fi
+  note "flagship pid $pid gone without finishing"
+  until tpu_ok; do
+    note "TPU unhealthy; waiting 300s"
+    sleep 300
+  done
+  if [ -f "$SAVE_DIR/model.msgpack" ]; then
+    launch --resume
+  else
+    launch
+  fi
+  sleep 300
+done
+note "flagship complete"
+touch /tmp/flagship.done
