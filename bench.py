@@ -127,10 +127,11 @@ def main():
     p.add_argument("--skip-aux", action="store_true",
                    help="skip the conv-latency and roofline measurements")
     p.add_argument("--opt-state", default="factored",
-                   choices=["full", "bf16mu", "factored"],
+                   choices=["full", "bf16mu", "factored", "factored8"],
                    help="AdamW state policy: full f32, bf16 first moment, "
-                        "or factored second moment + bf16 mu (cuts "
-                        "optimizer-state HBM traffic; A/B in BASELINE.md)")
+                        "factored second moment + bf16 mu, or factored + "
+                        "blockwise-int8 mu (cuts optimizer-state HBM "
+                        "traffic; A/B in BASELINE.md)")
     p.add_argument("--batch", type=int, default=BATCH,
                    help="batch size (throughput scales reported per-step "
                         "at the reference batch of 8 by default)")
@@ -227,7 +228,11 @@ def main():
         opt = optax.adamw(3e-4)
     elif args.opt_state == "bf16mu":
         opt = optax.adamw(3e-4, mu_dtype=jnp.bfloat16)
-    else:  # factored second moment + bf16 mu: least state traffic
+    elif args.opt_state == "factored8":
+        # factored nu + blockwise-int8 mu: least state traffic of all
+        opt = adamw_factory(3e-4, factored_second_moment=True,
+                            mu_dtype="int8")
+    else:  # factored second moment + bf16 mu
         opt = adamw_factory(
             3e-4, factored_second_moment=True, mu_dtype=jnp.bfloat16
         )

@@ -102,6 +102,10 @@ class OptConfig(ConfigBase):
     # > 0: track an EMA of the params in the optimizer state (with_ema);
     # training scripts report a second eval on the averaged params
     ema_decay: float = 0.0
+    # AdamW state policy: "full" (f32 mu+nu, reference semantics),
+    # "factored" (factored nu + bf16 mu), "factored8" (factored nu +
+    # blockwise-int8 mu) — HBM-traffic levers, A/B'd in BASELINE.md
+    opt_state: str = "full"
 
 
 @dataclass

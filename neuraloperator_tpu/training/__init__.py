@@ -18,3 +18,8 @@ from .setup import setup  # noqa: F401
 from .tensor_galore import tensor_galore_adamw  # noqa: F401
 from .profiling import ThroughputMeter, flops_per_fno_step, trace  # noqa: F401
 from .optimizer import ema_params, reduce_on_plateau, with_ema  # noqa: F401
+from .optimizer import (  # noqa: F401
+    Quantized8,
+    dequantize_blockwise,
+    quantize_blockwise,
+)

@@ -28,6 +28,43 @@ def cosine_annealing(base_lr: float, t_max: int, steps_per_epoch: int = 1):
     return optax.cosine_decay_schedule(base_lr, t_max * steps_per_epoch)
 
 
+class Quantized8(NamedTuple):
+    """Blockwise int8-quantized tensor: flattened into blocks of
+    ``block`` elements, each block stored as int8 codes + one f32
+    absmax scale (linear symmetric quantization, Dettmers et al. 2021
+    "8-bit Optimizers via Block-wise Quantization" — the blockwise
+    scheme; we use linear rather than dynamic-tree codes, which for
+    the *first* moment costs <0.1% quality in their ablations).
+    The original shape is not stored — callers recover it from the
+    matching gradient/param leaf (static under jit)."""
+
+    codes: chex.Array   # int8, (n_blocks, block)
+    scale: chex.Array   # f32, (n_blocks, 1)
+
+
+def quantize_blockwise(x: chex.Array, block: int = 2048) -> Quantized8:
+    """Quantize ``x`` to blockwise int8 (symmetric absmax-scaled)."""
+    flat = x.astype(jnp.float32).reshape(-1)
+    pad = (-flat.size) % block
+    if pad:
+        flat = jnp.pad(flat, (0, pad))
+    blocks = flat.reshape(-1, block)
+    absmax = jnp.max(jnp.abs(blocks), axis=-1, keepdims=True)
+    scale = absmax / 127.0
+    inv = jnp.where(absmax > 0, 127.0 / absmax, 0.0)
+    codes = jnp.round(blocks * inv).astype(jnp.int8)
+    return Quantized8(codes=codes, scale=scale)
+
+
+def dequantize_blockwise(q: Quantized8, shape) -> chex.Array:
+    """Inverse of :func:`quantize_blockwise` (up to rounding error)."""
+    flat = (q.codes.astype(jnp.float32) * q.scale).reshape(-1)
+    size = 1
+    for s in shape:
+        size *= s
+    return flat[:size].reshape(shape)
+
+
 class FactoredAdamState(NamedTuple):
     count: chex.Array
     mu: chex.ArrayTree
@@ -48,20 +85,30 @@ def scale_by_adam_factored(
     over the last two axes and reconstructed as the rank-1 estimate
     ``R * C / mean(R)`` (Shazeer & Stern 2018, eq. 4); smaller params keep
     a full ``nu``. First moment ``mu`` is kept (optionally in
-    ``mu_dtype``, e.g. bf16). Against plain Adam this cuts optimizer-state
+    ``mu_dtype``, e.g. bf16, or the string ``"int8"`` for blockwise
+    int8 codes + f32 block scales — see :class:`Quantized8`). Against
+    plain Adam this cuts optimizer-state
     HBM traffic ~60-75% per step — on bandwidth-bound TPU training steps
     the update phase is mostly state traffic (the reference's AdamW,
     ``/root/reference/neuralop/training/adamw.py:62-110``, keeps full f32
     exp_avg/exp_avg_sq).
     """
+    mu_int8 = mu_dtype == "int8"
 
     def is_factored(p):
         return p.ndim >= 2
 
     def init_fn(params):
-        mu = jax.tree_util.tree_map(
-            lambda p: jnp.zeros_like(p, dtype=mu_dtype or p.dtype), params
-        )
+        if mu_int8:
+            mu = jax.tree_util.tree_map(
+                lambda p: quantize_blockwise(jnp.zeros_like(p, jnp.float32)),
+                params,
+            )
+        else:
+            mu = jax.tree_util.tree_map(
+                lambda p: jnp.zeros_like(p, dtype=mu_dtype or p.dtype),
+                params,
+            )
         nu_row = jax.tree_util.tree_map(
             lambda p: jnp.zeros(p.shape[:-1], p.dtype)
             if is_factored(p) else jnp.zeros((), p.dtype),
@@ -88,12 +135,26 @@ def scale_by_adam_factored(
         b1c = 1 - b1 ** count.astype(jnp.float32)
         b2c = 1 - b2 ** count.astype(jnp.float32)
 
-        mu = jax.tree_util.tree_map(
-            lambda m, g: (b1 * m.astype(g.dtype) + (1 - b1) * g).astype(
-                m.dtype
-            ),
-            state.mu, updates,
-        )
+        if mu_int8:
+            # dequantize -> EMA in f32; the *unquantized* fresh moment
+            # feeds the update (no double rounding), the quantized one
+            # is what's stored
+            mu_f32 = jax.tree_util.tree_map(
+                lambda m, g: (
+                    b1 * dequantize_blockwise(m, g.shape)
+                    + (1 - b1) * g.astype(jnp.float32)
+                ),
+                state.mu, updates,
+                is_leaf=lambda x: isinstance(x, Quantized8),
+            )
+            mu = jax.tree_util.tree_map(quantize_blockwise, mu_f32)
+        else:
+            mu = mu_f32 = jax.tree_util.tree_map(
+                lambda m, g: (b1 * m.astype(g.dtype) + (1 - b1) * g).astype(
+                    m.dtype
+                ),
+                state.mu, updates,
+            )
 
         def upd_row(r, g):
             if not is_factored(g):
@@ -129,7 +190,7 @@ def scale_by_adam_factored(
             return m_hat / (jnp.sqrt(v / b2c) + eps)
 
         new_updates = jax.tree_util.tree_map(
-            scaled, updates, mu, nu_row, nu_col, nu_full
+            scaled, updates, mu_f32, nu_row, nu_col, nu_full
         )
         return new_updates, FactoredAdamState(
             count=count, mu=mu, nu_row=nu_row, nu_col=nu_col, nu_full=nu_full
@@ -197,9 +258,15 @@ def adamw(
 
     ``factored_second_moment=True`` swaps in the factored-nu Adam kernel
     (see :func:`scale_by_adam_factored`); ``mu_dtype`` stores the first
-    moment at reduced precision (e.g. ``jnp.bfloat16``). Both cut
+    moment at reduced precision (``jnp.bfloat16``, or ``"int8"`` for
+    blockwise-quantized codes — factored path only). Both cut
     optimizer-state HBM traffic on bandwidth-bound steps.
     """
+    if mu_dtype == "int8" and not factored_second_moment:
+        raise ValueError(
+            "mu_dtype='int8' requires factored_second_moment=True "
+            "(the blockwise-quantized mu lives in the factored kernel)"
+        )
     if factored_second_moment:
         tx = optax.chain(
             scale_by_adam_factored(

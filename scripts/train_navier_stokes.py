@@ -15,6 +15,8 @@ from typing import List, Optional
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
+import jax.numpy as jnp
+
 from neuraloperator_tpu.config import (
     ConfigBase,
     DistributedConfig,
@@ -101,6 +103,7 @@ def main():
 
     model = get_model(config.to_dict())
 
+    opt_state_policy = getattr(config.opt, "opt_state", "full")
     optimizer = adamw(
         step_lr(
             config.opt.learning_rate,
@@ -109,6 +112,9 @@ def main():
             len(train_loader),
         ),
         weight_decay=config.opt.weight_decay,
+        factored_second_moment=opt_state_policy != "full",
+        mu_dtype={"full": None, "factored": jnp.bfloat16,
+                  "factored8": "int8"}[opt_state_policy],
     )
     if config.opt.ema_decay > 0:
         from neuraloperator_tpu.training.optimizer import with_ema
