@@ -30,6 +30,10 @@ run ns64_ema 7200 python scripts/train_navier_stokes.py $COMMON $MIXED \
   --opt.ema_decay 0.999
 run ns64_f32 7200 python scripts/train_navier_stokes.py $COMMON
 
+run provenance 7200 python scripts/eval_solver_provenance.py --n-states 64
+
 run bench 3600 python bench.py
 run bench_sr 3600 python bench.py --sr
+run bench_int8 3600 python bench.py --opt-state factored8
 note "post-queue complete"
+touch /tmp/q4_post.done

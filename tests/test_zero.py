@@ -50,7 +50,9 @@ def _run_steps(model, params, opt, opt_state, x, y, n_steps, specs=None,
 @pytest.mark.parametrize("make_opt", [
     lambda: optax.adamw(1e-3),
     lambda: factored_adamw(1e-3, factored_second_moment=True),
-], ids=["adamw", "factored_adamw"])
+    lambda: factored_adamw(1e-3, factored_second_moment=True,
+                           mu_dtype="int8"),
+], ids=["adamw", "factored_adamw", "factored_adamw_int8mu"])
 def test_zero_matches_replicated(make_opt):
     model, params, x, y = _toy_problem()
     mesh = mesh_lib.init(model_parallel_size=1)  # 8-way data parallel
