@@ -100,8 +100,14 @@ def scale_by_adam_factored(
 
     def init_fn(params):
         if mu_int8:
+            # int8 codes only for matrix-shaped leaves; small leaves
+            # (biases, scalars) keep bf16 — quantizing them would pad
+            # each to a full block and cost precision where updates are
+            # the most individually significant
             mu = jax.tree_util.tree_map(
-                lambda p: quantize_blockwise(jnp.zeros_like(p, jnp.float32)),
+                lambda p: quantize_blockwise(jnp.zeros_like(p, jnp.float32))
+                if is_factored(p)
+                else jnp.zeros_like(p, dtype=jnp.bfloat16),
                 params,
             )
         else:
@@ -141,13 +147,19 @@ def scale_by_adam_factored(
             # is what's stored
             mu_f32 = jax.tree_util.tree_map(
                 lambda m, g: (
-                    b1 * dequantize_blockwise(m, g.shape)
+                    b1 * (dequantize_blockwise(m, g.shape)
+                          if isinstance(m, Quantized8)
+                          else m.astype(jnp.float32))
                     + (1 - b1) * g.astype(jnp.float32)
                 ),
                 state.mu, updates,
                 is_leaf=lambda x: isinstance(x, Quantized8),
             )
-            mu = jax.tree_util.tree_map(quantize_blockwise, mu_f32)
+            mu = jax.tree_util.tree_map(
+                lambda m, g: quantize_blockwise(m)
+                if is_factored(g) else m.astype(jnp.bfloat16),
+                mu_f32, updates,
+            )
         else:
             mu = mu_f32 = jax.tree_util.tree_map(
                 lambda m, g: (b1 * m.astype(g.dtype) + (1 - b1) * g).astype(

@@ -55,10 +55,13 @@ def test_int8_mu_adam_converges_and_stores_codes():
     Y = X @ W_true.T
 
     def loss_fn(params):
-        return jnp.mean((X @ (params["w"] @ A).T - Y) ** 2)
+        return jnp.mean(
+            (X @ (params["w"] @ A).T + params["b"] - Y) ** 2
+        )
 
     def train(opt, steps):
-        params = {"w": jnp.zeros((32, 32), jnp.float32)}
+        params = {"w": jnp.zeros((32, 32), jnp.float32),
+                  "b": jnp.zeros((32,), jnp.float32)}
         state = opt.init(params)
 
         @jax.jit
@@ -75,7 +78,8 @@ def test_int8_mu_adam_converges_and_stores_codes():
     q_loss, q_state = train(
         adamw(1e-2, factored_second_moment=True, mu_dtype="int8"), 1000
     )
-    init_loss = float(loss_fn({"w": jnp.zeros((32, 32), jnp.float32)}))
+    init_loss = float(loss_fn({"w": jnp.zeros((32, 32), jnp.float32),
+                               "b": jnp.zeros((32,), jnp.float32)}))
     assert q_loss < 0.05 * init_loss
     assert q_loss < 2.0 * full_loss
 
@@ -84,6 +88,8 @@ def test_int8_mu_adam_converges_and_stores_codes():
     assert isinstance(mu_leaf, Quantized8)
     assert mu_leaf.codes.dtype == jnp.int8
     assert mu_leaf.scale.dtype == jnp.float32
+    # small (1-dim) leaves stay bf16, not padded into int8 blocks
+    assert inner.mu["b"].dtype == jnp.bfloat16
 
 
 def test_int8_mu_matches_bf16_mu_short_trajectory():
