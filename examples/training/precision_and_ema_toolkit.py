@@ -1,6 +1,6 @@
-"""Training-efficiency toolkit: EMA, stochastic rounding, ZeRO-1, int8.
+"""Training-efficiency toolkit: EMA, SR, ZeRO-1, 8-bit state, int8 serving.
 
-Four ahead-of-reference training/serving levers this package ships on top
+Five ahead-of-reference training/serving levers this package ships on top
 of the reference's feature set (reference trains plain f32 AdamW,
 ``/root/reference/neuralop/training/adamw.py``), each demonstrated
 end-to-end on a small FNO:
@@ -11,7 +11,9 @@ end-to-end on a small FNO:
    sub-ulp updates accumulate correctly in expectation.
 3. ``Trainer(zero_sharding=True)`` — optimizer state sharded 1/N over the
    data-parallel mesh axis (multi-device; shown on a CPU mesh in CI).
-4. ``CompiledForward(quantize='int8')`` — weight-only int8 serving.
+4. ``adamw(factored_second_moment=True, mu_dtype="int8")`` — 8-bit
+   optimizer state: factored nu + blockwise-int8 first moment.
+5. ``CompiledForward(quantize='int8')`` — weight-only int8 serving.
 
 Runs on CPU; every lever is exercised the same way on TPU.
 """
@@ -80,7 +82,26 @@ if jax.device_count() > 1:
 else:
     print("ZeRO-1: skipped (single device; see tests/test_zero.py)")
 
-# --- 4. int8 weight-only serving --------------------------------------
+# --- 4. 8-bit optimizer state (factored nu + blockwise-int8 mu) -------
+q_trainer = Trainer(model=model, n_epochs=10)
+q_metrics = q_trainer.train(
+    loader, {"test": loader},
+    adamw(3e-3, factored_second_moment=True, mu_dtype="int8"),
+)
+from neuraloperator_tpu.training import Quantized8  # noqa: E402
+
+n_int8 = sum(
+    leaf.codes.size
+    for leaf in jax.tree_util.tree_leaves(
+        q_trainer.opt_state,
+        is_leaf=lambda x: isinstance(x, Quantized8),
+    )
+    if isinstance(leaf, Quantized8)
+)
+print(f"int8-mu train_err={q_metrics['train_err']:.4f}  "
+      f"int8 state elements={n_int8}")
+
+# --- 5. int8 weight-only serving --------------------------------------
 srv = CompiledForward(model, trainer.params, jnp.asarray(x[:8]),
                       batch_sizes=(8,), quantize="int8")
 ref = model.apply({"params": trainer.params}, jnp.asarray(x[:8]))
