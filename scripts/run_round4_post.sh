@@ -29,6 +29,8 @@ run ns64_sr 7200 python scripts/train_navier_stokes.py $COMMON $MIXED \
 run ns64_ema 7200 python scripts/train_navier_stokes.py $COMMON $MIXED \
   --opt.ema_decay 0.999
 run ns64_f32 7200 python scripts/train_navier_stokes.py $COMMON
+run ns64_int8 7200 python scripts/train_navier_stokes.py $COMMON $MIXED \
+  --opt.opt_state factored8
 
 run provenance 7200 python scripts/eval_solver_provenance.py --n-states 64
 
