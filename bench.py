@@ -236,7 +236,17 @@ def main():
         opt = adamw_factory(
             3e-4, factored_second_moment=True, mu_dtype=jnp.bfloat16
         )
-    opt_state = opt.init(params)
+    # statistics always init from an f32-promoted tree (optax derives
+    # state dtypes from param dtypes; bf16 nu would freeze — see
+    # training/optimizer.py). The factored kernel forces f32 nu itself;
+    # this covers the plain-optax paths too.
+    opt_state = opt.init(
+        jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a,
+            params,
+        )
+    )
     h1 = H1Loss(d=2)
 
     # bf16 mixed precision (Trainer mixed_precision=True semantics):
@@ -245,8 +255,12 @@ def main():
         return a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a
 
     if args.sr:
+        # bf16 master params; optimizer STATE stays initialized from the
+        # f32 tree (opt_state above) — optax derives state dtypes from
+        # param dtypes and a bf16 nu freezes once (1-b2)*g^2 is below
+        # bf16 relative precision. SR removes the f32 parameter copy
+        # only; the statistics keep their dtypes.
         params = jax.tree_util.tree_map(to_half, params)
-        opt_state = opt.init(params)
 
     # the H1 rel-denominator depends only on the target — precomputed per
     # sample, exactly as the Trainer's device-dataset path stages it
@@ -397,6 +411,12 @@ def main():
                 "sr": args.sr,
                 "batch": batch,
                 "block_precision": args.block_precision,
+                # the timed step embodies the Trainer device-dataset
+                # path's precomputed H1 denominator (one FD stencil on
+                # the difference per step); the A100 baseline derivation
+                # assumed the reference's full per-step rel-H1 — see
+                # BASELINE.md "Round-4: H1 workload note"
+                "h1_denominator": "precomputed",
             }
         )
 

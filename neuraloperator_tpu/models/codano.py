@@ -321,9 +321,16 @@ def extend_variable_ids(
     assert model.use_positional_encoding and model.variable_ids is not None, (
         "extend_variable_ids requires use_positional_encoding=True"
     )
-    added = tuple(
-        v for v in new_variable_ids if v not in model.variable_ids
-    )
+    # dedup both against the existing ids AND within new_variable_ids
+    # (a repeated new id would declare the same pos_enc param twice and
+    # crash flax setup with NameInUseError)
+    seen = set(model.variable_ids)
+    added = []
+    for v in new_variable_ids:
+        if v not in seen:
+            seen.add(v)
+            added.append(v)
+    added = tuple(added)
     new_model = model.clone(
         variable_ids=tuple(model.variable_ids) + added
     )

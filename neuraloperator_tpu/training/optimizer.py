@@ -115,19 +115,23 @@ def scale_by_adam_factored(
                 lambda p: jnp.zeros_like(p, dtype=mu_dtype or p.dtype),
                 params,
             )
+        # second-moment statistics are ALWAYS f32, independent of the
+        # parameter storage dtype: a bf16 nu freezes once (1-b2)*g^2
+        # drops below bf16's ~2^-8 relative precision, and the factored
+        # row/col means are tiny so f32 costs nothing
         nu_row = jax.tree_util.tree_map(
-            lambda p: jnp.zeros(p.shape[:-1], p.dtype)
-            if is_factored(p) else jnp.zeros((), p.dtype),
+            lambda p: jnp.zeros(p.shape[:-1], jnp.float32)
+            if is_factored(p) else jnp.zeros((), jnp.float32),
             params,
         )
         nu_col = jax.tree_util.tree_map(
-            lambda p: jnp.zeros(p.shape[:-2] + p.shape[-1:], p.dtype)
-            if is_factored(p) else jnp.zeros((), p.dtype),
+            lambda p: jnp.zeros(p.shape[:-2] + p.shape[-1:], jnp.float32)
+            if is_factored(p) else jnp.zeros((), jnp.float32),
             params,
         )
         nu_full = jax.tree_util.tree_map(
-            lambda p: jnp.zeros((), p.dtype)
-            if is_factored(p) else jnp.zeros_like(p),
+            lambda p: jnp.zeros((), jnp.float32)
+            if is_factored(p) else jnp.zeros_like(p, dtype=jnp.float32),
             params,
         )
         return FactoredAdamState(
@@ -171,16 +175,19 @@ def scale_by_adam_factored(
         def upd_row(r, g):
             if not is_factored(g):
                 return r
+            g = g.astype(jnp.float32)
             return b2 * r + (1 - b2) * jnp.mean(g * g, axis=-1)
 
         def upd_col(c, g):
             if not is_factored(g):
                 return c
+            g = g.astype(jnp.float32)
             return b2 * c + (1 - b2) * jnp.mean(g * g, axis=-2)
 
         def upd_full(n, g):
             if is_factored(g):
                 return n
+            g = g.astype(jnp.float32)
             return b2 * n + (1 - b2) * g * g
 
         nu_row = jax.tree_util.tree_map(upd_row, state.nu_row, updates)
@@ -318,6 +325,14 @@ def with_ema(
     optimizer state, so checkpoints, donation and ZeRO-1 sharding of the
     state all apply to it automatically). Read it back with
     :func:`ema_params`.
+
+    The average folds in the ``params`` *passed to each update* — i.e.
+    the parameters as actually applied after the previous step,
+    including any post-``update`` scaling the caller performs (the
+    Trainer multiplies updates by its epoch scheduler's factor AFTER
+    ``optimizer.update``, so folding ``p + u`` here would track a
+    trajectory that was never applied). This gives a one-step lag,
+    negligible at any practical decay.
     """
     def init_fn(params):
         return EmaState(
@@ -330,10 +345,8 @@ def with_ema(
             updates, state.inner, params, **extra
         )
         ema = jax.tree_util.tree_map(
-            lambda e, p, u: (
-                decay * e + (1 - decay) * (p + u.astype(p.dtype))
-            ).astype(e.dtype),
-            state.ema, params, new_updates,
+            lambda e, p: (decay * e + (1 - decay) * p).astype(e.dtype),
+            state.ema, params,
         )
         return new_updates, EmaState(inner=inner, ema=ema)
 

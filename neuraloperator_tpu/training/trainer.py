@@ -98,7 +98,9 @@ class Trainer:
         if self.data_processor is not None:
             sample = self.data_processor.preprocess(sample, train=True)
         kwargs = {
-            k: jnp.asarray(v) for k, v in sample.items() if k != "y"
+            k: jnp.asarray(v)
+            for k, v in sample.items()
+            if k != "y" and not k.startswith("_loss_")
         }
         rng = jax.random.PRNGKey(0)
         # jit the init: single fused program, and complex intermediates never
@@ -108,11 +110,16 @@ class Trainer:
         return variables["params"]
 
     def _model_kwargs_from_sample(self, sample: dict) -> dict:
-        """Extra kwargs forwarded to the model (beyond 'x')."""
+        """Extra kwargs forwarded to the model (beyond 'x').
+
+        Keys with the reserved "_loss_" prefix are loss auxiliaries
+        (e.g. the precomputed H1 denominator), never model kwargs —
+        the same carve-out the train step applies.
+        """
         return {
             k: v
             for k, v in sample.items()
-            if k not in ("x", "y")
+            if k not in ("x", "y") and not k.startswith("_loss_")
         }
 
     def _half_policy(self, params, kwargs):
@@ -396,7 +403,20 @@ class Trainer:
                     else a,
                     self.params,
                 )
-        self.opt_state = optimizer.init(self.params)
+        # Optimizer STATE is always initialized from an f32-promoted
+        # tree: optax derives state dtypes from param dtypes, and a bf16
+        # second moment freezes once (1-b2)*g^2 drops below bf16's ~2^-8
+        # relative precision. Low-precision *storage* (weight_dtype,
+        # SR masters) compresses the parameter copy, never the Adam
+        # statistics (which are tiny when factored, and load-bearing).
+        self.opt_state = optimizer.init(
+            jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.float32)
+                if jnp.issubdtype(a.dtype, jnp.floating)
+                else a,
+                self.params,
+            )
+        )
 
         if resume_from_dir is not None and Path(resume_from_dir).exists():
             self.params, opt_state, epoch = load_training_state(

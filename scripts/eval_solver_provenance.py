@@ -40,7 +40,6 @@ def spectral_resample(w: np.ndarray, n_out: int) -> np.ndarray:
     spec = np.fft.fft2(w, axes=(-2, -1))
     out = np.zeros((*w.shape[:-2], n_out, n_out), dtype=spec.dtype)
     k = min(n, n_out) // 2
-    sl = np.fft.fftfreq(min(n, n_out), 1.0 / min(n, n_out)).astype(int)
     idx = np.concatenate([np.arange(k), np.arange(-k, 0)])
     out[..., idx[:, None] % n_out, idx[None, :] % n_out] = spec[
         ..., idx[:, None] % n, idx[None, :] % n

@@ -3,6 +3,10 @@
 # 600-epoch reference-recipe f32 training (VERDICT next-round #2),
 # babysitting across TPU-worker crashes (resume from periodic saves).
 # Log: /tmp/flagship.log; journal: /tmp/q4_queue.log
+# Safe to re-run mid-round: an existing model.msgpack in $SAVE_DIR makes
+# every launch (including the first) resume rather than restart, and the
+# log is rotated per invocation so a stale 'final:' from a previous
+# completed run can never signal completion for this one.
 cd /root/repo
 
 DATA=neuraloperator_tpu/data/datasets/data
@@ -17,9 +21,15 @@ until [ -f "$DATA/nsforcing_train_128.pt" ] && [ -f "$DATA/nsforcing_test_128.pt
   sleep 60
 done
 note "NS-128 dataset ready"
-# stale round-3 manifest (checkpoints were untracked): a fresh run must
-# not see it as resumable state
-rm -f "$SAVE_DIR/manifest.json"
+if [ ! -f "$SAVE_DIR/model.msgpack" ]; then
+  # stale manifest without checkpoints (checkpoints were untracked in
+  # round 3): a fresh run must not see it as resumable state. With a
+  # real model.msgpack present the manifest is LIVE state — keep it.
+  rm -f "$SAVE_DIR/manifest.json"
+fi
+# rotate the append-only log: 'final:' from an earlier completed run
+# must not count as completion for this invocation
+[ -f "$FLAG_LOG" ] && mv "$FLAG_LOG" "$FLAG_LOG.prev.$(date +%s)"
 
 tpu_ok() {
   timeout 300 python -c "
@@ -33,9 +43,9 @@ flagship_done() {
   grep -q '^final:' "$FLAG_LOG" 2>/dev/null
 }
 
-launch() {  # launch [--resume]
+launch() {
   local extra=""
-  [ "$1" = "--resume" ] && extra="--resume_from_dir $SAVE_DIR"
+  [ -f "$SAVE_DIR/model.msgpack" ] && extra="--resume_from_dir $SAVE_DIR"
   nohup timeout 42000 python scripts/train_navier_stokes.py \
     --data.n_train 10000 --data.train_resolution 128 \
     --data.n_tests [2000] --data.test_resolutions [128] \
@@ -77,11 +87,7 @@ while ! flagship_done; do
     note "TPU unhealthy; waiting 300s"
     sleep 300
   done
-  if [ -f "$SAVE_DIR/model.msgpack" ]; then
-    launch --resume
-  else
-    launch
-  fi
+  launch
   sleep 300
 done
 note "flagship complete"

@@ -136,3 +136,14 @@ def test_codano_extend_variable_ids():
         )
     )(ext_params)
     assert float(jnp.max(jnp.abs(g["pos_enc_w"]))) > 0
+
+    # (d) duplicate ids within the request dedup cleanly (a repeat would
+    # otherwise declare pos_enc_w twice -> flax NameInUseError on apply)
+    dup_model, dup_params = extend_variable_ids(
+        model, params, ["w", "w", "v"], jax.random.PRNGKey(4)
+    )
+    assert dup_model.variable_ids == ("u", "v", "w")
+    y_dup = dup_model.apply(
+        {"params": dup_params}, x3, input_variable_ids=["u", "v", "w"]
+    )
+    assert np.all(np.isfinite(np.asarray(y_dup)))

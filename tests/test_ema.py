@@ -15,6 +15,9 @@ from neuraloperator_tpu.training.optimizer import (
 
 
 def test_ema_tracks_param_trajectory_exactly():
+    """EMA folds the params passed to each update (= the previous step's
+    applied result): robust to any post-``update`` scaling the caller
+    does, with a one-step lag."""
     decay = 0.9
     opt = with_ema(optax.sgd(0.1), decay=decay)
     params = {"w": jnp.asarray([1.0, 2.0])}
@@ -23,11 +26,33 @@ def test_ema_tracks_param_trajectory_exactly():
     expected_ema = np.asarray(params["w"])
     for i in range(5):
         grads = {"w": jnp.asarray([0.5, -1.0]) * (i + 1)}
+        pre_update = np.asarray(params["w"])
         updates, state = opt.update(grads, state, params)
         params = optax.apply_updates(params, updates)
-        expected_ema = decay * expected_ema + (1 - decay) * np.asarray(
-            params["w"]
+        expected_ema = decay * expected_ema + (1 - decay) * pre_update
+        np.testing.assert_allclose(
+            np.asarray(ema_params(state)["w"]), expected_ema, rtol=1e-6
         )
+
+
+def test_ema_correct_under_post_update_scaling():
+    """The Trainer multiplies updates by its epoch scheduler's factor
+    AFTER optimizer.update; the EMA must track the params actually
+    applied, not p + unscaled_u."""
+    decay = 0.5
+    opt = with_ema(optax.sgd(0.1), decay=decay)
+    params = {"w": jnp.asarray([1.0, 2.0])}
+    state = opt.init(params)
+
+    expected_ema = np.asarray(params["w"])
+    for i in range(4):
+        grads = {"w": jnp.asarray([1.0, -2.0])}
+        pre_update = np.asarray(params["w"])
+        updates, state = opt.update(grads, state, params)
+        # emulate Trainer's scheduler scaling (StepLR factor 0.5)
+        updates = jax.tree_util.tree_map(lambda u: 0.5 * u, updates)
+        params = optax.apply_updates(params, updates)
+        expected_ema = decay * expected_ema + (1 - decay) * pre_update
         np.testing.assert_allclose(
             np.asarray(ema_params(state)["w"]), expected_ema, rtol=1e-6
         )

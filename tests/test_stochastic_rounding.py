@@ -119,6 +119,34 @@ def test_trainer_sr_bf16_weights_trains():
     assert metrics["train_err"] < 2 * metrics_plain["train_err"] + 1e-3
 
 
+def test_trainer_sr_keeps_f32_second_moment():
+    """SR compresses the parameter copy, NOT the Adam statistics: optax
+    derives state dtypes from the tree passed to init, so the Trainer
+    must init the optimizer from the f32 tree before casting params to
+    bf16 — a bf16 nu freezes once (1-b2)*g^2 drops below bf16's ~2^-8
+    relative precision."""
+    model = FNO(
+        n_modes=(4, 4), in_channels=1, out_channels=1, hidden_channels=8,
+        n_layers=2, weight_dtype="bfloat16",
+    )
+    x = np.random.default_rng(0).normal(size=(4, 1, 8, 8)).astype(np.float32)
+    loader = [{"x": x, "y": x}]
+    trainer = Trainer(model=model, n_epochs=1, stochastic_rounding=True)
+    trainer.train(loader, {"test": loader}, optax.adamw(1e-3))
+
+    nu_dtypes = {
+        leaf.dtype
+        for leaf in jax.tree_util.tree_leaves(trainer.opt_state[0].nu)
+    }
+    assert nu_dtypes == {jnp.float32}
+    # while the params themselves are bf16 masters
+    assert all(
+        leaf.dtype == jnp.bfloat16
+        for leaf in jax.tree_util.tree_leaves(trainer.params)
+        if jnp.issubdtype(leaf.dtype, jnp.floating)
+    )
+
+
 def test_trainer_sr_epoch_scan_path():
     """SR key threading through the device_dataset one-program-per-epoch
     scan (fold_in over the scan index)."""
