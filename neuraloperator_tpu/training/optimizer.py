@@ -308,6 +308,35 @@ def adamw(
     return tx
 
 
+def build_optimizer(opt_config, steps_per_epoch: int = 1):
+    """Build the full optimizer from an ``OptConfig`` section.
+
+    One place for the scripts to honor every optimizer knob the config
+    exposes: StepLR folded into the optax schedule, weight decay, the
+    ``opt_state`` policy (full / factored / factored8) and EMA. Mirrors
+    how the reference's scripts construct AdamW + scheduler from their
+    config trees (``/root/reference/config/darcy_config.py:10-43``).
+    """
+    policy = getattr(opt_config, "opt_state", "full")
+    if policy not in ("full", "factored", "factored8"):
+        raise ValueError(f"unknown opt.opt_state: {policy!r}")
+    tx = adamw(
+        step_lr(
+            opt_config.learning_rate,
+            opt_config.step_size,
+            getattr(opt_config, "gamma", 0.5),
+            steps_per_epoch,
+        ),
+        weight_decay=opt_config.weight_decay,
+        factored_second_moment=policy != "full",
+        mu_dtype={"full": None, "factored": jnp.bfloat16,
+                  "factored8": "int8"}[policy],
+    )
+    if getattr(opt_config, "ema_decay", 0.0) > 0:
+        tx = with_ema(tx, decay=opt_config.ema_decay)
+    return tx
+
+
 class EmaState(NamedTuple):
     inner: object
     ema: chex.ArrayTree

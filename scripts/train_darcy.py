@@ -19,7 +19,7 @@ from neuraloperator_tpu.data.datasets import load_darcy_flow_small
 from neuraloperator_tpu.losses import H1Loss, LpLoss
 from neuraloperator_tpu.models import get_model
 from neuraloperator_tpu.parallel import mesh as mesh_lib
-from neuraloperator_tpu.training import Trainer, adamw, step_lr
+from neuraloperator_tpu.training import Trainer
 from neuraloperator_tpu.utils import count_model_params
 
 
@@ -43,14 +43,9 @@ def main():
 
     model = get_model(config.to_dict())
 
-    steps_per_epoch = len(train_loader)
-    schedule = step_lr(
-        config.opt.learning_rate,
-        config.opt.step_size,
-        config.opt.gamma,
-        steps_per_epoch,
-    )
-    optimizer = adamw(schedule, weight_decay=config.opt.weight_decay)
+    from neuraloperator_tpu.training.optimizer import build_optimizer
+
+    optimizer = build_optimizer(config.opt, len(train_loader))
 
     l2loss = LpLoss(d=2, p=2)
     h1loss = H1Loss(d=2)
@@ -61,6 +56,7 @@ def main():
         n_epochs=config.opt.n_epochs,
         data_processor=data_processor,
         mixed_precision=config.opt.mixed_precision,
+        stochastic_rounding=config.opt.stochastic_rounding,
         eval_interval=config.eval_interval,
         mesh=mesh,
         verbose=config.verbose,

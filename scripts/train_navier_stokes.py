@@ -15,8 +15,6 @@ from typing import List, Optional
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
-import jax.numpy as jnp
-
 from neuraloperator_tpu.config import (
     ConfigBase,
     DistributedConfig,
@@ -28,7 +26,7 @@ from neuraloperator_tpu.data.datasets import load_navier_stokes_pt
 from neuraloperator_tpu.data.transforms import MGPatchingDataProcessor
 from neuraloperator_tpu.losses import H1Loss, LpLoss
 from neuraloperator_tpu.models import get_model
-from neuraloperator_tpu.training import Trainer, adamw, setup, step_lr
+from neuraloperator_tpu.training import Trainer, setup
 from neuraloperator_tpu.utils import count_model_params
 
 
@@ -103,23 +101,9 @@ def main():
 
     model = get_model(config.to_dict())
 
-    opt_state_policy = getattr(config.opt, "opt_state", "full")
-    optimizer = adamw(
-        step_lr(
-            config.opt.learning_rate,
-            config.opt.step_size,
-            config.opt.gamma,
-            len(train_loader),
-        ),
-        weight_decay=config.opt.weight_decay,
-        factored_second_moment=opt_state_policy != "full",
-        mu_dtype={"full": None, "factored": jnp.bfloat16,
-                  "factored8": "int8"}[opt_state_policy],
-    )
-    if config.opt.ema_decay > 0:
-        from neuraloperator_tpu.training.optimizer import with_ema
+    from neuraloperator_tpu.training.optimizer import build_optimizer
 
-        optimizer = with_ema(optimizer, decay=config.opt.ema_decay)
+    optimizer = build_optimizer(config.opt, len(train_loader))
     h1loss, l2loss = H1Loss(d=2), LpLoss(d=2, p=2)
     trainer = Trainer(
         model=model,
