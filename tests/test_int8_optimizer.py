@@ -121,3 +121,26 @@ def test_int8_mu_matches_bf16_mu_short_trajectory():
     w16 = run(jnp.bfloat16)
     rel = float(jnp.linalg.norm(w8 - w16) / jnp.linalg.norm(w16))
     assert rel < 0.05
+
+
+def test_build_optimizer_policies():
+    from neuraloperator_tpu.config import OptConfig
+    from neuraloperator_tpu.training.optimizer import (
+        EmaState,
+        build_optimizer,
+    )
+
+    params = {"w": jnp.zeros((8, 4), jnp.float32)}
+
+    cfg = OptConfig(learning_rate=1e-3, opt_state="factored8")
+    opt = build_optimizer(cfg, steps_per_epoch=2)
+    state = opt.init(params)
+    assert isinstance(state[0].mu["w"], Quantized8)
+
+    cfg_ema = OptConfig(learning_rate=1e-3, ema_decay=0.99)
+    opt_ema = build_optimizer(cfg_ema)
+    assert isinstance(opt_ema.init(params), EmaState)
+
+    cfg_bad = OptConfig(opt_state="nope")
+    with pytest.raises(ValueError):
+        build_optimizer(cfg_bad)
