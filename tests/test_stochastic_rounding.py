@@ -138,7 +138,7 @@ def test_trainer_sr_keeps_f32_second_moment():
         leaf.dtype
         for leaf in jax.tree_util.tree_leaves(trainer.opt_state[0].nu)
     }
-    assert nu_dtypes == {jnp.float32}
+    assert nu_dtypes == {jnp.dtype(jnp.float32)}
     # while the params themselves are bf16 masters
     assert all(
         leaf.dtype == jnp.bfloat16
