@@ -11,6 +11,7 @@ parallelism is a sharded batch dim on a ('data','model') mesh — no DDP
 wrapper; XLA inserts the gradient psum.
 """
 
+import json
 import time
 from pathlib import Path
 from typing import Callable, Dict, Optional
@@ -505,6 +506,20 @@ class Trainer:
 
         best_metric = float("inf")
         best_params = None
+        # a resumed run must not let its first (typically worse) eval
+        # overwrite the stored best_model: restore the best metric the
+        # interrupted run recorded for the same save_best key
+        if resume_from_dir is not None and save_best is not None:
+            manifest_path = Path(resume_from_dir) / "manifest.json"
+            if manifest_path.exists():
+                try:
+                    manifest = json.loads(manifest_path.read_text())
+                except (json.JSONDecodeError, OSError):
+                    manifest = {}
+                if manifest.get("best_key") == save_best:
+                    best_metric = float(
+                        manifest.get("best_metric", float("inf"))
+                    )
         all_metrics: Dict[str, float] = {}
 
         if save_every is not None or save_best is not None:
@@ -584,8 +599,19 @@ class Trainer:
                     if metric is not None and metric < best_metric:
                         best_metric = metric
                         best_params = jax.device_get(self.params)
+                        # epoch=None: the best save must not advance the
+                        # manifest's resume epoch past the periodic
+                        # "model" checkpoint it rides with
                         save_training_state(
-                            save_dir, "best_model", best_params, epoch=epoch
+                            save_dir,
+                            "best_model",
+                            best_params,
+                            epoch=None,
+                            extra_manifest={
+                                "best_metric": float(metric),
+                                "best_epoch": epoch,
+                                "best_key": save_best,
+                            },
                         )
             if save_every is not None and epoch % save_every == 0:
                 save_training_state(

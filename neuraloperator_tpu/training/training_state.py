@@ -38,10 +38,21 @@ def save_training_state(
         (save_dir / "optimizer.msgpack").write_bytes(
             flax.serialization.to_bytes(jax.device_get(opt_state))
         )
-    manifest = {"epoch": epoch}
+    # merge with any existing manifest so a best-model save (which passes
+    # epoch=None + best_* keys) never clobbers the resume epoch written by
+    # the periodic save, and vice versa
+    manifest_path = save_dir / "manifest.json"
+    manifest = {}
+    if manifest_path.exists():
+        try:
+            manifest = json.loads(manifest_path.read_text())
+        except (json.JSONDecodeError, OSError):
+            manifest = {}
+    if epoch is not None:
+        manifest["epoch"] = epoch
     if extra_manifest:
         manifest.update(extra_manifest)
-    (save_dir / "manifest.json").write_text(json.dumps(manifest))
+    manifest_path.write_text(json.dumps(manifest))
     return save_dir
 
 

@@ -441,3 +441,49 @@ def test_device_dataset_h1_ynorm_precompute_matches_loop():
     loop_loss = run(False)
     # different shuffles, same optimization problem: close final losses
     assert abs(scan_loss - loop_loss) / loop_loss < 0.15
+
+
+def test_resume_preserves_stored_best(tmp_path):
+    """A resumed run must not overwrite best_model with its first
+    (worse) eval: the manifest carries best_metric/best_epoch, and the
+    best save never clobbers the periodic save's resume epoch."""
+    import json
+
+    ds = _toy_problem()
+    loader = DataLoader(ds, batch_size=8)
+    test_loaders = {8: DataLoader(ds, batch_size=8)}
+    model = _small_model()
+    l2 = LpLoss(d=2)
+    save_dir = tmp_path / "ckpt"
+
+    trainer = Trainer(model=model, n_epochs=2, eval_interval=1)
+    trainer.train(
+        loader, test_loaders, adamw(1e-3), training_loss=l2,
+        eval_losses={"l2": l2}, save_every=1, save_dir=save_dir,
+        save_best="8_l2",
+    )
+    manifest = json.loads((save_dir / "manifest.json").read_text())
+    # periodic epoch key and best_* keys coexist
+    assert manifest["epoch"] == 1
+    assert manifest["best_key"] == "8_l2"
+    assert np.isfinite(manifest["best_metric"])
+    assert 0 <= manifest["best_epoch"] <= 1
+
+    # pretend the interrupted run had already found an unbeatable best
+    manifest["best_metric"] = 1e-12
+    (save_dir / "manifest.json").write_text(json.dumps(manifest))
+    best_bytes = (save_dir / "best_model.msgpack").read_bytes()
+
+    resumed = Trainer(model=model, n_epochs=4, eval_interval=1)
+    resumed.train(
+        loader, test_loaders, adamw(1e-3), training_loss=l2,
+        eval_losses={"l2": l2}, save_every=1, save_dir=save_dir,
+        save_best="8_l2", resume_from_dir=save_dir,
+    )
+    # stored best untouched (no eval beat 1e-12)...
+    assert (save_dir / "best_model.msgpack").read_bytes() == best_bytes
+    # ...and the manifest still records the unbeaten metric while the
+    # resume epoch advanced with the periodic saves
+    manifest = json.loads((save_dir / "manifest.json").read_text())
+    assert manifest["best_metric"] == 1e-12
+    assert manifest["epoch"] == 3
