@@ -27,7 +27,7 @@ from neuraloperator_tpu.training import Trainer, adamw, step_lr
 from neuraloperator_tpu.utils import count_model_params
 
 
-def build_model(family: str, res: int):
+def build_model(family: str, res: int, hvc: int = 32, token_dim: int = 8):
     if family == "uno":
         return UNO(
             in_channels=1, out_channels=1, hidden_channels=32,
@@ -46,9 +46,9 @@ def build_model(family: str, res: int):
     if family == "codano":
         return CODANO(
             n_modes=((12, 12),) * 4, n_layers=4,
-            hidden_variable_codimension=32,
+            hidden_variable_codimension=hvc,
             lifting_channels=64, projection_channels=64,
-            per_channel_attention=False, attention_token_dim=8,
+            per_channel_attention=False, attention_token_dim=token_dim,
             domain_padding=None,
         )
     raise ValueError(family)
@@ -65,6 +65,9 @@ def main():
                     help="default: 3e-3 (uno/local_no), 1e-3 (codano)")
     ap.add_argument("--step_size", type=int, default=60)
     ap.add_argument("--eval_interval", type=int, default=25)
+    # CODANO capacity knobs (defaults reproduce the recorded row)
+    ap.add_argument("--hidden_variable_codimension", type=int, default=32)
+    ap.add_argument("--attention_token_dim", type=int, default=8)
     args = ap.parse_args()
 
     res = 16
@@ -76,7 +79,11 @@ def main():
         test_resolutions=[16, 32],
         encode_input=(args.family == "codano"), encode_output=True,
     )
-    model = build_model(args.family, res)
+    model = build_model(
+        args.family, res,
+        hvc=args.hidden_variable_codimension,
+        token_dim=args.attention_token_dim,
+    )
     lr = args.learning_rate or (1e-3 if args.family == "codano" else 3e-3)
     schedule = step_lr(lr, args.step_size, 0.5, len(train_loader))
     optimizer = adamw(schedule, weight_decay=1e-4)
