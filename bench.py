@@ -231,10 +231,12 @@ def main():
     elif args.opt_state == "factored8":
         # factored nu + blockwise-int8 mu: least state traffic of all
         opt = adamw_factory(3e-4, factored_second_moment=True,
-                            mu_dtype="int8")
+                            mu_dtype="int8",
+                            cast_final_updates=not args.sr)
     else:  # factored second moment + bf16 mu
         opt = adamw_factory(
-            3e-4, factored_second_moment=True, mu_dtype=jnp.bfloat16
+            3e-4, factored_second_moment=True, mu_dtype=jnp.bfloat16,
+            cast_final_updates=not args.sr,
         )
     # statistics always init from an f32-promoted tree (optax derives
     # state dtypes from param dtypes; bf16 nu would freeze — see

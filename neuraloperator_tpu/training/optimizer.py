@@ -264,6 +264,38 @@ def apply_updates_sr(params, updates, key):
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
+def with_final_update_cast(
+    tx: optax.GradientTransformation,
+) -> optax.GradientTransformation:
+    """Cast each final update leaf to its parameter's dtype.
+
+    For reduced-precision stored weights (bf16) the cast happens anyway —
+    inside ``optax.apply_updates`` — but there XLA materializes it as a
+    standalone convert over the full parameter tree (measured 1.2 ms/step
+    on the NS-128 bench: 277 MB f32 read + 139 MB bf16 write). Applied at
+    the END of the optimizer's update computation instead, the cast is
+    the tail of the already-fused elementwise chain, so the materialized
+    update tree is bf16 and the standalone convert disappears. The
+    weight-decay and learning-rate arithmetic stay f32 (this runs after
+    them); only the final stored value is rounded, which the bf16
+    parameter add absorbs identically either way. No-op for f32 params.
+
+    Deliberately a *wrapper*, not an extra ``optax.chain`` element: the
+    optimizer state pytree is ``tx``'s own, so existing checkpoints
+    (``optimizer.msgpack``) restore unchanged.
+    """
+
+    def update_fn(updates, state, params=None):
+        updates, state = tx.update(updates, state, params)
+        if params is not None:
+            updates = jax.tree_util.tree_map(
+                lambda u, p: u.astype(p.dtype), updates, params
+            )
+        return updates, state
+
+    return optax.GradientTransformation(tx.init, update_fn)
+
+
 def adamw(
     learning_rate,
     weight_decay: float = 0.0,
@@ -272,6 +304,7 @@ def adamw(
     max_grad_norm: Optional[float] = None,
     mu_dtype=None,
     factored_second_moment: bool = False,
+    cast_final_updates: bool = True,
 ) -> optax.GradientTransformation:
     """AdamW matching torch defaults (reference ``training/adamw.py:11``).
 
@@ -280,6 +313,12 @@ def adamw(
     moment at reduced precision (``jnp.bfloat16``, or ``"int8"`` for
     blockwise-quantized codes — factored path only). Both cut
     optimizer-state HBM traffic on bandwidth-bound steps.
+
+    ``cast_final_updates`` fuses the final cast-to-param-dtype into the
+    update computation (see :func:`cast_updates_to_param_dtype`). Pass
+    ``False`` when applying with stochastic rounding
+    (:func:`apply_updates_sr`), which wants full-precision updates at the
+    rounding point.
     """
     if mu_dtype == "int8" and not factored_second_moment:
         raise ValueError(
@@ -303,6 +342,8 @@ def adamw(
             weight_decay=weight_decay,
             mu_dtype=mu_dtype,
         )
+    if cast_final_updates:
+        tx = with_final_update_cast(tx)
     if max_grad_norm is not None:
         tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
     return tx
@@ -331,6 +372,11 @@ def build_optimizer(opt_config, steps_per_epoch: int = 1):
         factored_second_moment=policy != "full",
         mu_dtype={"full": None, "factored": jnp.bfloat16,
                   "factored8": "int8"}[policy],
+        # SR applies updates with its own stochastic round and wants the
+        # full-precision update at the rounding point
+        cast_final_updates=not getattr(
+            opt_config, "stochastic_rounding", False
+        ),
     )
     if getattr(opt_config, "ema_decay", 0.0) > 0:
         tx = with_ema(tx, decay=opt_config.ema_decay)

@@ -90,6 +90,13 @@ def build_step():
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--top", type=int, default=0,
+                    help="also print the N largest ENTRY converts/copies")
+    args_cli = ap.parse_args()
+
     step, args = build_step()
     lowered = jax.jit(step).lower(*args)
     compiled = lowered.compile()
@@ -151,6 +158,24 @@ def main():
     print("fusion output bytes by dtype (materialized intermediates):")
     for dt, mb in sorted(fmb.items(), key=lambda kv: -kv[1]):
         print(f"  {dt:8s} {mb:10.1f} MB")
+
+    if args_cli.top:
+        rows = []
+        allpat = re.compile(
+            r"^\s*(?:ROOT\s+)?%?(\S+) = (\w+)\[([\d,]*)\][^ ]* "
+            r"(convert|copy|fusion|transpose|bitcast)\(", re.M)
+        for mm in allpat.finditer(entry):
+            name, dt, shape, op = mm.groups()
+            n = 1
+            for d in shape.split(","):
+                if d:
+                    n *= int(d)
+            rows.append((n * DTYPE_BYTES.get(dt, 4) / 1e6,
+                         f"{dt}[{shape}]", op, name[:70]))
+        rows.sort(reverse=True)
+        print(f"\ntop {args_cli.top} ENTRY ops by output bytes:")
+        for mb, sig, op, name in rows[: args_cli.top]:
+            print(f"  {mb:9.1f} MB  {op:9s} {sig}  {name}")
 
     # module-boundary dtype trace at reduced shape: catches any silent
     # f32 promotion between modules (round-2's +35% bug class)

@@ -108,3 +108,81 @@ def test_train_step_has_no_standalone_converts():
            if c[1]
            and math.prod(int(d) for d in c[1].split(",") if d) > 4096]
     assert not big, f"unfused boundary converts: {big}"
+
+
+def _tiny_tree(dtype):
+    return {
+        "w": jnp.ones((8, 8), dtype),
+        "b": jnp.zeros((8,), dtype),
+    }
+
+
+def test_final_update_cast_matches_param_dtype():
+    """bf16 params get bf16 updates from the wrapped chain (the cast is
+    inside the optimizer, not left to apply_updates)."""
+    from neuraloperator_tpu.training.optimizer import adamw
+
+    params = _tiny_tree(jnp.bfloat16)
+    grads = _tiny_tree(jnp.bfloat16)
+    opt = adamw(1e-3, weight_decay=1e-4, factored_second_moment=True,
+                mu_dtype=jnp.bfloat16)
+    state = opt.init(jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32), params))
+    updates, _ = opt.update(grads, state, params)
+    assert all(u.dtype == jnp.bfloat16
+               for u in jax.tree_util.tree_leaves(updates))
+
+
+def test_final_update_cast_preserves_state_structure_and_f32_trajectory():
+    """The wrapper must not change the optimizer-state pytree (existing
+    optimizer.msgpack checkpoints restore unchanged) and must be an exact
+    no-op for f32 params."""
+    from neuraloperator_tpu.training.optimizer import adamw
+
+    params = _tiny_tree(jnp.float32)
+    grads = jax.tree_util.tree_map(lambda a: a + 0.1, _tiny_tree(jnp.float32))
+    for factored in (True, False):
+        opt_on = adamw(1e-3, factored_second_moment=factored,
+                       cast_final_updates=True)
+        opt_off = adamw(1e-3, factored_second_moment=factored,
+                        cast_final_updates=False)
+        s_on, s_off = opt_on.init(params), opt_off.init(params)
+        assert (jax.tree_util.tree_structure(s_on)
+                == jax.tree_util.tree_structure(s_off))
+        u_on, _ = opt_on.update(grads, s_on, params)
+        u_off, _ = opt_off.update(grads, s_off, params)
+        for a, b in zip(jax.tree_util.tree_leaves(u_on),
+                        jax.tree_util.tree_leaves(u_off)):
+            assert a.dtype == b.dtype == jnp.float32
+            assert jnp.array_equal(a, b)
+
+
+def test_build_optimizer_sr_keeps_full_precision_updates():
+    """stochastic_rounding=True must disable the final cast: SR's
+    stochastic round wants the f32 update at the rounding point."""
+    from dataclasses import dataclass
+
+    from neuraloperator_tpu.training.optimizer import build_optimizer
+
+    @dataclass
+    class Opt:
+        learning_rate: float = 1e-3
+        weight_decay: float = 1e-4
+        step_size: int = 10
+        opt_state: str = "factored"
+        stochastic_rounding: bool = True
+
+    params = _tiny_tree(jnp.bfloat16)
+    grads = _tiny_tree(jnp.bfloat16)
+    opt = build_optimizer(Opt())
+    state = opt.init(jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32), params))
+    updates, _ = opt.update(grads, state, params)
+    assert all(u.dtype == jnp.float32
+               for u in jax.tree_util.tree_leaves(updates))
+
+    opt2 = build_optimizer(Opt(stochastic_rounding=False))
+    updates2, _ = opt2.update(grads, opt2.init(jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32), params)), params)
+    assert all(u.dtype == jnp.bfloat16
+               for u in jax.tree_util.tree_leaves(updates2))
