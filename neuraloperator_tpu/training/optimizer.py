@@ -250,8 +250,27 @@ def apply_updates_sr(params, updates, key):
     upd_leaves = treedef.flatten_up_to(updates)
     keys = jax.random.split(key, len(leaves))
     out = []
+    warned = False
     for p, u, k in zip(leaves, upd_leaves, keys):
         if p.dtype == jnp.bfloat16:
+            if u.dtype == jnp.bfloat16 and not warned:
+                # an optimizer built with cast_final_updates=True already
+                # round-to-nearest'd this update to bf16; SR then rounds
+                # a pre-rounded value, partially defeating its
+                # unbiasedness. Build the optimizer with
+                # cast_final_updates=False when pairing with SR (as
+                # build_optimizer and Trainer(stochastic_rounding=True)
+                # do).
+                import warnings
+
+                warnings.warn(
+                    "apply_updates_sr received bf16 updates for bf16 "
+                    "params — pass cast_final_updates=False to the "
+                    "optimizer so stochastic rounding sees "
+                    "full-precision updates",
+                    stacklevel=2,
+                )
+                warned = True
             out.append(
                 stochastic_round_to(
                     jnp.bfloat16,
@@ -278,7 +297,10 @@ def with_final_update_cast(
     update tree is bf16 and the standalone convert disappears. The
     weight-decay and learning-rate arithmetic stay f32 (this runs after
     them); only the final stored value is rounded, which the bf16
-    parameter add absorbs identically either way. No-op for f32 params.
+    parameter add absorbs nearly identically (NOT bit-identically: any
+    post-hoc multiply on the bf16 update — e.g. the Trainer's
+    lr_scale — rounds twice, and the Trainer therefore performs that
+    multiply in f32; see trainer.py). No-op for f32 params.
 
     Deliberately a *wrapper*, not an extra ``optax.chain`` element: the
     optimizer state pytree is ``tx``'s own, so existing checkpoints
@@ -315,7 +337,7 @@ def adamw(
     optimizer-state HBM traffic on bandwidth-bound steps.
 
     ``cast_final_updates`` fuses the final cast-to-param-dtype into the
-    update computation (see :func:`cast_updates_to_param_dtype`). Pass
+    update computation (see :func:`with_final_update_cast`). Pass
     ``False`` when applying with stochastic rounding
     (:func:`apply_updates_sr`), which wants full-precision updates at the
     rounding point.

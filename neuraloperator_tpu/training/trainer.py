@@ -247,9 +247,14 @@ class Trainer:
             # epoch-scheduler protocol: the Trainer scales updates by the
             # scheduler's current factor (equivalent to scaling the LR,
             # including AdamW's decoupled weight decay — both are
-            # lr-multiplied in torch and in optax.adamw)
+            # lr-multiplied in torch and in optax.adamw). The multiply
+            # runs in f32 even for bf16 update leaves so non-power-of-two
+            # scheduler factors are not quantized to bf16 (~2^-9 rel);
+            # XLA fuses the convert-multiply-convert into the elementwise
+            # chain, so the materialized update tree stays bf16.
             updates = jax.tree_util.tree_map(
-                lambda u: u * lr_scale.astype(u.dtype), updates
+                lambda u: (u.astype(jnp.float32) * lr_scale).astype(u.dtype),
+                updates,
             )
             if use_sr:
                 from .optimizer import apply_updates_sr
@@ -520,6 +525,20 @@ class Trainer:
                     best_metric = float(
                         manifest.get("best_metric", float("inf"))
                     )
+        elif (
+            resume_from_dir is None
+            and save_dir is not None
+            and (save_every is not None or save_best is not None)
+        ):
+            # fresh (non-resume) run into a reused save_dir: a stale
+            # manifest from a previous experiment must not leak its
+            # best_metric/epoch into this run's saves (the merge in
+            # save_training_state would otherwise carry them forward,
+            # and a later resume_from_dir=save_dir could suppress
+            # best_model saves behind an unbeatable stale metric)
+            stale = Path(save_dir) / "manifest.json"
+            if stale.exists():
+                stale.unlink()
         all_metrics: Dict[str, float] = {}
 
         if save_every is not None or save_best is not None:
