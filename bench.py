@@ -462,7 +462,11 @@ def main():
         # this step is bandwidth-bound at ~0.16 MFU on a quiet chip
         # (BASELINE.md roofline); >0.5 means the ceiling itself was
         # depressed by a co-tenant mid-measurement
-        contended = ceiling_spread > 0.25 or achieved / ceiling > 0.5
+        # bool(): numpy comparison results (np.bool_) are not JSON
+        # serializable and would crash the final print
+        contended = bool(
+            ceiling_spread > 0.25 or achieved / ceiling > 0.5
+        )
         result.update(
             {
                 "samples_per_sec": round(steps_per_sec * batch, 1),

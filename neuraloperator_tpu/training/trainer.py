@@ -699,7 +699,21 @@ class Trainer:
         totals: Dict[str, float] = {}
         n_samples = 0
         for batch in loader:
-            bsz = len(batch["x"])
+            if (
+                mode == "autoregression"
+                and self.data_processor is not None
+                and hasattr(self.data_processor, "format_rollout_batch")
+                and "output_fields" in batch
+            ):
+                # the_well-layout trajectory batch: build the scan's
+                # initial carry + raw targets (the reference instead
+                # mutates data_dict across a host loop, trainer.py:589-671)
+                batch = self.data_processor.format_rollout_batch(
+                    self._put(dict(batch))
+                )
+            bsz = len(batch["x"]) if "x" in batch else len(
+                next(iter(batch.values()))
+            )
             if mode == "single_step":
                 vals = eval_step(self.params, self._put(batch))
             elif mode == "autoregression":
@@ -750,6 +764,13 @@ class Trainer:
                             for k in names
                         ]
                     )
+                    if data_processor is not None and hasattr(
+                        data_processor, "ar_feedback"
+                    ):
+                        # pure-function window feedback (the_well-style
+                        # processors: shift input steps, append the
+                        # normalized prediction, keep constant channels)
+                        return data_processor.ar_feedback(x, out), vals
                     return out, vals
 
                 _, vals = jax.lax.scan(
