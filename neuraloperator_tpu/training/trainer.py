@@ -348,6 +348,8 @@ class Trainer:
         save_best: Optional[str] = None,
         save_dir="./ckpt",
         resume_from_dir=None,
+        warm_start_from=None,
+        warm_start_name: str = "best_model",
         rollout_steps: int = 1,
         pushforward: bool = True,
         device_dataset: bool = False,
@@ -423,6 +425,20 @@ class Trainer:
                 self.params,
             )
         )
+
+        if warm_start_from is not None and resume_from_dir is None:
+            # params-only warm start (fine-tuning): load weights from a
+            # prior run's checkpoint but keep the fresh optimizer state,
+            # scheduler position and epoch counter — unlike resume, which
+            # restores all three
+            self.params, _, ws_epoch = load_training_state(
+                warm_start_from, warm_start_name, self.params
+            )
+            if self.verbose:
+                print(
+                    f"warm-starting params from {warm_start_from}/"
+                    f"{warm_start_name} (source epoch {ws_epoch})"
+                )
 
         if resume_from_dir is not None and Path(resume_from_dir).exists():
             self.params, opt_state, epoch = load_training_state(

@@ -67,6 +67,16 @@ def load_training_state(
     params = flax.serialization.from_bytes(
         params_template, (save_dir / f"{save_name}.msgpack").read_bytes()
     )
+    # decompress-on-load: checkpoints stored in reduced precision
+    # (scripts/compress_checkpoint.py) restore to the template's dtype,
+    # so consumers always see the working precision they initialized
+    params = jax.tree_util.tree_map(
+        lambda t, a: a.astype(t.dtype)
+        if hasattr(a, "dtype") and hasattr(t, "dtype") and a.dtype != t.dtype
+        else a,
+        params_template,
+        params,
+    )
     opt_state = None
     opt_path = save_dir / "optimizer.msgpack"
     if opt_state_template is not None and opt_path.exists():

@@ -36,6 +36,10 @@ def main():
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--no-eval", action="store_true",
                    help="cast only; skip the model-rebuild output check")
+    p.add_argument("--dtype", default="bf16", choices=("bf16", "f16"),
+                   help="storage dtype; f16 keeps 3 more mantissa bits "
+                        "(use when bf16's ~2^-9 relative rounding exceeds "
+                        "the checkpoint's eval error)")
     args = p.parse_args()
 
     import jax
@@ -47,13 +51,15 @@ def main():
     raw = (folder / f"{args.name}.msgpack").read_bytes()
     tree = msgpack_restore(raw)
 
+    store_dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float16
+
     def cast(leaf):
         if isinstance(leaf, np.ndarray) and leaf.dtype == np.float32:
-            return jnp.asarray(leaf).astype(jnp.bfloat16)
+            return jnp.asarray(leaf).astype(store_dtype)
         return leaf
 
     tree_bf16 = jax.tree_util.tree_map(cast, tree)
-    out_path = folder / f"{args.name}_bf16.msgpack"
+    out_path = folder / f"{args.name}_{args.dtype}.msgpack"
     out_path.write_bytes(
         msgpack_serialize(jax.device_get(tree_bf16), in_place=True)
     )
@@ -76,15 +82,24 @@ def main():
             jnp.float32,
         )
         params_f32 = msgpack_restore(raw)
+        # evaluate through the real usage path: a consumer of the
+        # compressed checkpoint restores it and casts params back to
+        # f32 before apply, so the delta measured here is purely the
+        # storage rounding
+        params_rt = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32)
+            if a.dtype in (jnp.bfloat16, jnp.float16) else a,
+            tree_bf16,
+        )
         y32 = jax.jit(model.apply)({"params": params_f32}, x)
-        y16 = jax.jit(model.apply)({"params": tree_bf16}, x)
+        y16 = jax.jit(model.apply)({"params": params_rt}, x)
         rel = float(
             jnp.linalg.norm(
                 y16.astype(jnp.float32) - y32.astype(jnp.float32)
             )
             / jnp.linalg.norm(y32.astype(jnp.float32))
         )
-        result["eval_rel_l2_bf16_vs_f32"] = rel
+        result[f"eval_rel_l2_{args.dtype}_vs_f32"] = rel
     print(json.dumps(result))
 
 

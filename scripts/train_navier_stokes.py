@@ -69,6 +69,9 @@ class NSConfig(ConfigBase):
     save_best: Optional[str] = None  # metric name, e.g. '128_l2'
     save_every: Optional[int] = None  # periodic save interval (epochs)
     resume_from_dir: Optional[str] = None  # resume params/opt/epoch from here
+    # params-only warm start (fine-tuning: fresh optimizer/schedule/epoch)
+    warm_start_from: Optional[str] = None
+    warm_start_name: str = "best_model"
 
 
 def main():
@@ -123,6 +126,8 @@ def main():
         eval_losses={"h1": h1loss, "l2": l2loss},
         device_dataset=config.device_dataset,
         resume_from_dir=config.resume_from_dir,
+        warm_start_from=config.warm_start_from,
+        warm_start_name=config.warm_start_name,
         **(
             {
                 "save_dir": config.save_dir,

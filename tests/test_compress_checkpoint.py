@@ -85,6 +85,28 @@ def test_compress_writes_half_size_bf16(tmp_path, monkeypatch, capsys):
     )
 
 
+def test_compress_f16_and_decompress_on_load(tmp_path, monkeypatch, capsys):
+    """--dtype f16 writes *_f16.msgpack; load_training_state restores it
+    to the template's f32 (decompress-on-load)."""
+    model, params, x = _tiny_checkpoint(tmp_path)
+    result = _run(tmp_path, monkeypatch, capsys, extra=("--dtype", "f16"))
+    out = tmp_path / "best_model_f16.msgpack"
+    assert out.exists()
+    # f16 keeps 3 more mantissa bits than bf16: tighter equivalence
+    assert 0.0 <= result["eval_rel_l2_f16_vs_f32"] < 3e-3
+
+    from neuraloperator_tpu.training import load_training_state
+
+    restored, _, _ = load_training_state(tmp_path, "best_model_f16", params)
+    for t, r in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(restored)
+    ):
+        assert r.dtype == t.dtype  # f32 again, not f16
+        np.testing.assert_allclose(
+            np.asarray(t), np.asarray(r), rtol=2e-3, atol=1e-6
+        )
+
+
 def test_compress_eval_equivalence_recorded(tmp_path, monkeypatch, capsys):
     model, params, x = _tiny_checkpoint(tmp_path)
     result = _run(tmp_path, monkeypatch, capsys)

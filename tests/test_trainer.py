@@ -81,6 +81,36 @@ def jax_leaves(tree):
     return [np.asarray(leaf) for leaf in jax.tree_util.tree_leaves(tree)]
 
 
+def test_warm_start_params_only(tmp_path):
+    """warm_start_from loads weights but keeps fresh optimizer/epoch."""
+    ds = _toy_problem()
+    loader = DataLoader(ds, batch_size=8)
+    test_loaders = {8: DataLoader(ds, batch_size=8)}
+    model = _small_model()
+    l2 = LpLoss(d=2)
+    save_dir = tmp_path / "src"
+
+    src = Trainer(model=model, n_epochs=2, eval_interval=1)
+    src.train(
+        loader, test_loaders, adamw(1e-3), training_loss=l2,
+        eval_losses={"l2": l2}, save_best="8_l2", save_dir=save_dir,
+    )
+
+    # lr=0 fine-tune: params must equal the SOURCE's best checkpoint
+    ft = Trainer(model=model, n_epochs=1)
+    ft.train(
+        loader, test_loaders, adamw(0.0), training_loss=l2,
+        eval_losses={"l2": l2}, warm_start_from=save_dir,
+    )
+    # epoch counter is fresh (unlike resume)
+    assert ft.start_epoch == 0
+    from neuraloperator_tpu.training import load_training_state
+
+    best, _, _ = load_training_state(save_dir, "best_model", ft.params)
+    for a, b in zip(jax_leaves(best), jax_leaves(ft.params)):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
 def test_save_best(tmp_path):
     ds = _toy_problem()
     loader = DataLoader(ds, batch_size=8)
