@@ -436,31 +436,41 @@ def main():
         # that saturation point is the honest capacity metric for a
         # bandwidth-bound 64-channel model, so it is published in every
         # bench run next to the reference-batch steps/s headline.
-        samples16 = device_steps16 = None
+        big_batch_rows = {}
         if batch == 8:
-            x16 = jnp.asarray(rng.randn(16, 1, RES, RES), jnp.float32)
-            y16 = jnp.asarray(rng.randn(16, 1, RES, RES), jnp.float32)
-            yn16 = jax.jit(h1.ynorm_sq)(y16)
-            p16, s16, loss16 = step(params, opt_state, x16, y16, yn16)
-            float(loss16)  # compile + barrier
-            n16 = max(args.iters // 2, 10)
-            t0 = time.perf_counter()
-            for _ in range(n16):
-                p16, s16, loss16 = step(p16, s16, x16, y16, yn16)
-            float(loss16)
-            samples16 = 16 * n16 / (time.perf_counter() - t0)
+            # larger batches amortize the fixed per-step cost (AdamW state
+            # traffic ~2.6 ms + loss/copy slice) over more samples — the
+            # honest capacity operating point for a bandwidth-bound
+            # 64-channel model. batch 16 keeps cross-round continuity;
+            # batch 32 is where MFU peaks (opt traffic per sample halves
+            # again).
+            # step donates its (params, opt_state) args, so thread a
+            # rolling state through the batch sizes instead of reusing
+            # the (deleted-after-first-call) originals
+            p_cur, s_cur = params, opt_state
+            for bb in (16, 32):
+                xb = jnp.asarray(rng.randn(bb, 1, RES, RES), jnp.float32)
+                yb = jnp.asarray(rng.randn(bb, 1, RES, RES), jnp.float32)
+                ynb = jax.jit(h1.ynorm_sq)(yb)
+                pb, sb, lossb = step(p_cur, s_cur, xb, yb, ynb)
+                float(lossb)  # compile + barrier
+                nb = max(args.iters // 2, 10)
+                t0 = time.perf_counter()
+                for _ in range(nb):
+                    pb, sb, lossb = step(pb, sb, xb, yb, ynb)
+                float(lossb)
+                samples_b = bb * nb / (time.perf_counter() - t0)
 
-            # device-only rate at the saturating batch: the MFU story at
-            # the operating point throughput users should run at (the
-            # batch-8 reference point is dispatch/bandwidth bound;
-            # BASELINE.md round-3 sweep: samples/s saturates ~700 at
-            # batch >= 16). steps_chain re-jits for the new shape.
-            _, _, l16 = steps_chain(p16, s16, x16, y16, yn16)
-            float(l16)  # compile + barrier
-            t0 = time.perf_counter()
-            _, _, l16 = steps_chain(p16, s16, x16, y16, yn16)
-            float(l16)
-            device_steps16 = k_inner / (time.perf_counter() - t0)
+                # device-only rate at this batch (steps_chain re-jits for
+                # the new shape)
+                _, _, lb = steps_chain(pb, sb, xb, yb, ynb)
+                float(lb)  # compile + barrier
+                t0 = time.perf_counter()
+                _, _, lb = steps_chain(pb, sb, xb, yb, ynb)
+                float(lb)
+                device_steps_b = k_inner / (time.perf_counter() - t0)
+                big_batch_rows[bb] = (samples_b, device_steps_b)
+                p_cur, s_cur = pb, sb  # steps_chain does not donate
 
         conv_ms = bench_spectral_conv(args.block_precision)
         ceiling_post = measure_matmul_ceiling()
@@ -479,29 +489,39 @@ def main():
         result.update(
             {
                 "samples_per_sec": round(steps_per_sec_full * batch, 1),
-                **(
-                    {"samples_per_sec_batch16": round(samples16, 1)}
-                    if samples16 is not None
-                    else {}
-                ),
-                **(
-                    {
-                        "device_steps_per_sec_batch16": round(
-                            device_steps16, 3
+                **{
+                    k: v
+                    for bb, (samples_b, device_steps_b) in
+                    big_batch_rows.items()
+                    for k, v in {
+                        f"samples_per_sec_batch{bb}": round(samples_b, 1),
+                        f"device_steps_per_sec_batch{bb}": round(
+                            device_steps_b, 3
                         ),
-                        "achieved_tflops_batch16": round(
-                            analytic_step_flops(16) * device_steps16 / 1e12,
+                        f"achieved_tflops_batch{bb}": round(
+                            analytic_step_flops(bb) * device_steps_b / 1e12,
                             3,
                         ),
-                        "mfu_batch16_vs_observed_ceiling": round(
-                            analytic_step_flops(16)
-                            * device_steps16
+                        f"mfu_batch{bb}_vs_observed_ceiling": round(
+                            analytic_step_flops(bb)
+                            * device_steps_b
                             / 1e12
                             / ceiling,
                             4,
                         ),
+                    }.items()
+                },
+                **(
+                    {
+                        "mfu_saturating_batch": round(
+                            max(
+                                analytic_step_flops(bb) * ds / 1e12 / ceiling
+                                for bb, (_, ds) in big_batch_rows.items()
+                            ),
+                            4,
+                        )
                     }
-                    if device_steps16 is not None
+                    if big_batch_rows
                     else {}
                 ),
                 "device_steps_per_sec": round(device_steps_per_sec, 3),
