@@ -353,6 +353,7 @@ class Trainer:
         rollout_steps: int = 1,
         pushforward: bool = True,
         device_dataset: bool = False,
+        epoch_scan_chunk: Optional[int] = None,
         shuffle_seed: int = 0,
     ) -> Dict[str, float]:
         """Train the model.
@@ -384,6 +385,17 @@ class Trainer:
         Requires array-only dict batches and a jit-traceable
         data_processor; single-device path (use the loader loop on a
         mesh).
+
+        ``epoch_scan_chunk`` caps the number of scan steps compiled into
+        one epoch program: epochs longer than the cap are split into
+        equal-length chunks executed back-to-back (one compiled program,
+        reused). The relayed TPU worker has been observed to crash on
+        very long single-program executions (a 5000-step epoch scan dies
+        where 2500-step ones are stable), so hour-scale recipes with
+        large ``n_train`` should set this to the largest step count a
+        previous run survived. Up to ``k_chunks - 1`` trailing batches
+        per epoch are dropped to keep chunk shapes equal (drop-last
+        semantics).
         """
         if training_loss is None:
             training_loss = LpLoss(d=2)
@@ -583,11 +595,34 @@ class Trainer:
                     shuffle_rng.permutation(self._n_device_samples),
                     jnp.int32,
                 )
-                self.params, self.opt_state, mean_loss = epoch_fn(
-                    self.params, self.opt_state, device_data, perm, lr_scale,
-                    jax.random.fold_in(self._sr_base_key, epoch),
-                )
-                train_err = float(mean_loss)
+                epoch_key = jax.random.fold_in(self._sr_base_key, epoch)
+                nb_total = self._n_device_samples // batch_size
+                k_chunks = 1
+                if epoch_scan_chunk is not None and (
+                    nb_total > epoch_scan_chunk
+                ):
+                    k_chunks = -(-nb_total // epoch_scan_chunk)
+                if k_chunks == 1:
+                    self.params, self.opt_state, mean_loss = epoch_fn(
+                        self.params, self.opt_state, device_data, perm,
+                        lr_scale, epoch_key,
+                    )
+                    train_err = float(mean_loss)
+                else:
+                    # equal-shape chunks reuse one compiled program;
+                    # up to k_chunks-1 trailing batches drop (drop-last)
+                    span = (nb_total // k_chunks) * batch_size
+                    loss_sum = 0.0
+                    for c in range(k_chunks):
+                        (
+                            self.params, self.opt_state, mean_loss,
+                        ) = epoch_fn(
+                            self.params, self.opt_state, device_data,
+                            perm[c * span: (c + 1) * span], lr_scale,
+                            jax.random.fold_in(epoch_key, c),
+                        )
+                        loss_sum += float(mean_loss)
+                    train_err = loss_sum / k_chunks
             else:
                 train_err = 0.0
                 n_batches = 0

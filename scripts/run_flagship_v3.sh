@@ -75,7 +75,8 @@ launch() {
     --opt.weight_decay 1e-4 \
     --opt.training_loss h1 --opt.step_size 40 --opt.gamma 0.5 \
     --opt.opt_state factored \
-    --opt.mixed_precision false --device_dataset true --eval_interval 20 \
+    --opt.mixed_precision false --device_dataset true \
+    --epoch_scan_chunk 2500 --eval_interval 20 \
     --save_dir "$SAVE_DIR" --save_every 20 --save_best 128_l2 \
     $extra >> "$FLAG_LOG" 2>&1 &
   echo $! > "$FLAG_PID_FILE"

@@ -65,6 +65,9 @@ class NSConfig(ConfigBase):
     # stage the dataset in HBM and run one scan program per epoch
     # (amortizes per-step dispatch; single-device path)
     device_dataset: bool = False
+    # max scan steps per epoch program (None = whole epoch in one);
+    # the relayed worker crashes on very long single programs
+    epoch_scan_chunk: Optional[int] = None
     save_dir: Optional[str] = None  # save best/final training state here
     save_best: Optional[str] = None  # metric name, e.g. '128_l2'
     save_every: Optional[int] = None  # periodic save interval (epochs)
@@ -125,6 +128,7 @@ def main():
         training_loss=h1loss if config.opt.training_loss == "h1" else l2loss,
         eval_losses={"h1": h1loss, "l2": l2loss},
         device_dataset=config.device_dataset,
+        epoch_scan_chunk=config.epoch_scan_chunk,
         resume_from_dir=config.resume_from_dir,
         warm_start_from=config.warm_start_from,
         warm_start_name=config.warm_start_name,

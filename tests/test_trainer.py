@@ -517,3 +517,47 @@ def test_resume_preserves_stored_best(tmp_path):
     manifest = json.loads((save_dir / "manifest.json").read_text())
     assert manifest["best_metric"] == 1e-12
     assert manifest["epoch"] == 3
+
+
+def test_epoch_scan_chunk_matches_unchunked():
+    """epoch_scan_chunk splits an epoch into equal sub-programs that
+    replay the SAME shuffled batch order, so (divisible case) the
+    parameter trajectory matches the single-program epoch exactly."""
+    import jax
+
+    ds = _toy_problem()  # 32 samples -> 4 batches of 8
+    l2 = LpLoss(d=2)
+
+    def run(chunk):
+        loader = DataLoader(ds, batch_size=8, shuffle=False)
+        model = _small_model()
+        trainer = Trainer(model=model, n_epochs=3, eval_interval=100)
+        trainer.train(
+            loader, {}, adamw(1e-2), training_loss=l2,
+            device_dataset=True, epoch_scan_chunk=chunk, shuffle_seed=7,
+        )
+        return trainer.params
+
+    p_whole = run(None)
+    p_chunked = run(2)  # 4 batches -> 2 programs of 2 steps
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_whole),
+        jax.tree_util.tree_leaves(p_chunked),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_epoch_scan_chunk_drop_last():
+    """Non-divisible chunking drops trailing batches but still trains."""
+    ds = _toy_problem(n=40)  # 5 batches of 8 -> chunk 2 => 2x2, drop 1
+    l2 = LpLoss(d=2)
+    loader = DataLoader(ds, batch_size=8, shuffle=False)
+    model = _small_model()
+    trainer = Trainer(model=model, n_epochs=6, eval_interval=100)
+    trainer.train(
+        loader, {}, adamw(1e-2), training_loss=l2,
+        device_dataset=True, epoch_scan_chunk=2, shuffle_seed=7,
+    )
+    ev = trainer._build_eval_step({"l2": l2})
+    test_loader = DataLoader(ds, batch_size=8)
+    assert trainer.evaluate(ev, test_loader, prefix="t")["t_l2"] < 0.85
