@@ -3,6 +3,7 @@ from .data_processors import (  # noqa: F401
     DefaultDataProcessor,
     IncrementalDataProcessor,
     MGPatchingDataProcessor,
+    load_data_processor,
 )
 from .normalizers import (  # noqa: F401
     DictUnitGaussianNormalizer,

@@ -73,6 +73,29 @@ class UnitGaussianNormalizer:
 
     __call__ = transform
 
+    def state_dict(self) -> dict:
+        """JSON-serializable fitted statistics (for checkpoint sidecars)."""
+        return {
+            "mean": None if self.mean is None else np.asarray(self.mean).tolist(),
+            "std": None if self.std is None else np.asarray(self.std).tolist(),
+            "eps": float(self.eps),
+            "dim": self.dim,
+            "n_elements": int(self.n_elements),
+        }
+
+    @classmethod
+    def from_state_dict(cls, state: dict) -> "UnitGaussianNormalizer":
+        norm = cls(
+            mean=state.get("mean"),
+            std=state.get("std"),
+            eps=state.get("eps", 1e-7),
+            dim=state.get("dim"),
+        )
+        norm.n_elements = int(state.get("n_elements", 0))
+        if norm.std is not None:
+            norm._var = norm.std**2
+        return norm
+
 
 class DictUnitGaussianNormalizer:
     """Apply per-key normalizers to dict samples (reference :205+)."""

@@ -580,6 +580,19 @@ class Trainer:
                     save_arch_metadata(self.model, save_dir, "best_model")
             except Exception:
                 pass  # unregistered/custom modules: weights still saved
+            # persist fitted normalizer statistics once (they do not
+            # change during training): makes the checkpoint evaluable
+            # without refitting the exact train pipeline
+            if self.data_processor is not None and hasattr(
+                self.data_processor, "state_dict"
+            ):
+                try:
+                    Path(save_dir).mkdir(parents=True, exist_ok=True)
+                    (Path(save_dir) / "data_processor.json").write_text(
+                        json.dumps(self.data_processor.state_dict())
+                    )
+                except (TypeError, ValueError):
+                    pass
 
         for epoch in range(self.start_epoch, self.n_epochs):
             t0 = time.perf_counter()

@@ -22,10 +22,24 @@ def save_training_state(
     epoch: Optional[int] = None,
     best_params=None,
     extra_manifest: Optional[dict] = None,
+    data_processor=None,
 ) -> Path:
-    """Write {save_name}.msgpack (+ optimizer.msgpack, manifest.json)."""
+    """Write {save_name}.msgpack (+ optimizer.msgpack, manifest.json).
+
+    When ``data_processor`` exposes ``state_dict()`` its fitted state
+    (e.g. train-split normalizer statistics) is persisted as
+    ``data_processor.json`` so evaluation does not depend on refitting
+    the exact training pipeline (see DefaultDataProcessor.state_dict).
+    """
     save_dir = Path(save_dir)
     save_dir.mkdir(parents=True, exist_ok=True)
+    if data_processor is not None and hasattr(data_processor, "state_dict"):
+        try:
+            (save_dir / "data_processor.json").write_text(
+                json.dumps(data_processor.state_dict())
+            )
+        except (TypeError, ValueError):
+            pass  # non-serializable processor state: weights still saved
     params = jax.device_get(params)
     (save_dir / f"{save_name}.msgpack").write_bytes(
         flax.serialization.to_bytes(params)

@@ -48,12 +48,23 @@ class SRConfig(ConfigBase):
 def main():
     config = make_config_from_cli(SRConfig)
     setup()
-    # training-resolution normalizers (channel-wise stats — resolution-free)
-    _, _, dp = load_navier_stokes_pt(
-        n_train=256, n_tests=[8], batch_size=8, test_batch_sizes=[8],
-        train_resolution=config.train_res,
-        test_resolutions=[config.train_res],
-    )
+    # Prefer the normalizer statistics persisted with the checkpoint
+    # (data_processor.json, written by Trainer): a refit from a subset
+    # (or from a since-extended train file) measurably shifts eval at
+    # flagship error levels (~1e-4 rel l2).
+    from neuraloperator_tpu.data.transforms import load_data_processor
+
+    dp = load_data_processor(config.save_dir)
+    if dp is not None:
+        print(f"using saved normalizers from {config.save_dir}")
+    else:
+        # fallback for pre-sidecar checkpoints: refit channel-wise
+        # (resolution-free) stats at the training resolution
+        _, _, dp = load_navier_stokes_pt(
+            n_train=256, n_tests=[8], batch_size=8, test_batch_sizes=[8],
+            train_resolution=config.train_res,
+            test_resolutions=[config.train_res],
+        )
 
     model = FNO(
         n_modes=(config.n_modes, config.n_modes),

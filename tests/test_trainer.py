@@ -561,3 +561,62 @@ def test_epoch_scan_chunk_drop_last():
     ev = trainer._build_eval_step({"l2": l2})
     test_loader = DataLoader(ds, batch_size=8)
     assert trainer.evaluate(ev, test_loader, prefix="t")["t_l2"] < 0.85
+
+
+def test_data_processor_sidecar_roundtrip(tmp_path):
+    """Trainer persists fitted normalizer stats with the checkpoint, and
+    load_data_processor reconstructs a processor that evaluates the
+    checkpoint identically — without refitting the train pipeline
+    (guards the v2/v3 eval-mismatch bug: a normalizer refit from a
+    different split shifts flagship-scale eval numbers)."""
+    import jax
+    import jax.numpy as jnp
+
+    from neuraloperator_tpu.data.transforms import (
+        DefaultDataProcessor,
+        UnitGaussianNormalizer,
+        load_data_processor,
+    )
+
+    ds = _toy_problem()
+    x = np.stack([np.asarray(s["x"]) for s in ds])
+    y = np.stack([np.asarray(s["y"]) for s in ds])
+    dp = DefaultDataProcessor(
+        in_normalizer=UnitGaussianNormalizer(dim=[0, 2, 3]).fit(x),
+        out_normalizer=UnitGaussianNormalizer(dim=[0, 2, 3]).fit(y),
+    )
+    loader = DataLoader(ds, batch_size=8)
+    test_loaders = {8: DataLoader(ds, batch_size=8)}
+    model = _small_model()
+    l2 = LpLoss(d=2)
+    save_dir = tmp_path / "ckpt"
+
+    trainer = Trainer(model=model, n_epochs=1, data_processor=dp)
+    trainer.train(
+        loader, test_loaders, adamw(1e-3), training_loss=l2,
+        eval_losses={"l2": l2}, save_every=1, save_dir=save_dir,
+    )
+    assert (save_dir / "data_processor.json").exists()
+
+    dp2 = load_data_processor(save_dir)
+    assert isinstance(dp2, DefaultDataProcessor)
+    np.testing.assert_allclose(
+        dp2.in_normalizer.mean, dp.in_normalizer.mean, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        dp2.out_normalizer.std, dp.out_normalizer.std, rtol=1e-6
+    )
+
+    # eval-equivalence: saved-processor pipeline == original pipeline
+    xb = jnp.asarray(x[:8])
+
+    def forward(proc):
+        sample = proc.preprocess({"x": xb}, train=False)
+        out = model.apply({"params": trainer.params}, sample["x"])
+        out, _ = proc.postprocess(out, sample, train=False)
+        return np.asarray(out)
+
+    np.testing.assert_allclose(forward(dp2), forward(dp), rtol=1e-6)
+
+    # missing sidecar -> None (pre-sidecar checkpoints fall back)
+    assert load_data_processor(tmp_path / "nonexistent") is None
