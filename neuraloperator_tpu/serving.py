@@ -121,6 +121,11 @@ class CompiledForward:
         per-row int8 (4x less weight HBM than f32) and dequantizes to
         bf16 inside each compiled program — weight-only quantization;
         activations/matmuls stay bf16. A/B output error before shipping.
+    preprocess_fn : optional function applied to the input *inside* the
+        compiled program — use it to bake the training-time encoder into
+        the endpoint (e.g. ``data_processor.in_normalizer.transform``),
+        otherwise a model trained with ``encode_input=True`` expects
+        pre-normalized requests
     postprocess_fn : optional function applied to the model output
         *inside* the compiled program — use it to bake the training-time
         decoder into the endpoint (e.g.
@@ -148,6 +153,7 @@ class CompiledForward:
         batch_sizes: Sequence[int] = (1, 8),
         param_dtype=None,
         quantize: Optional[str] = None,
+        preprocess_fn: Optional[Callable] = None,
         postprocess_fn: Optional[Callable] = None,
         mesh=None,
         **apply_kwargs,
@@ -190,6 +196,8 @@ class CompiledForward:
         def fwd(p, x):
             if dequant is not None:
                 p = dequant(p)
+            if preprocess_fn is not None:
+                x = preprocess_fn(x)
             out = model.apply({"params": p}, x, **apply_kwargs)
             return postprocess_fn(out) if postprocess_fn is not None else out
 
@@ -255,6 +263,7 @@ def export_forward(
     path: Optional[str] = None,
     polymorphic_batch: bool = True,
     platforms: Optional[Sequence[str]] = None,
+    preprocess_fn: Optional[Callable] = None,
     postprocess_fn: Optional[Callable] = None,
     **apply_kwargs,
 ) -> bytes:
@@ -275,6 +284,8 @@ def export_forward(
     """
 
     def fwd(x):
+        if preprocess_fn is not None:
+            x = preprocess_fn(x)
         out = model.apply({"params": params}, x, **apply_kwargs)
         return postprocess_fn(out) if postprocess_fn is not None else out
 

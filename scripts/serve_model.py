@@ -69,9 +69,25 @@ def main():
             (ckpt / f"{config.name}.msgpack").read_bytes(),
         )
 
+    # bake the training-time normalizers into the endpoint when the
+    # checkpoint carries its data-processor sidecar: requests then flow
+    # raw-space in, raw-space out (without this, an encode_input/output
+    # model silently serves wrong-scale predictions)
+    from neuraloperator_tpu.data.transforms import load_data_processor
+
+    dp = load_data_processor(config.ckpt_dir)
+    pre = post = None
+    if dp is not None:
+        if getattr(dp, "in_normalizer", None) is not None:
+            pre = dp.in_normalizer.transform
+        if getattr(dp, "out_normalizer", None) is not None:
+            post = dp.out_normalizer.inverse_transform
+        print("baked saved normalizers into the endpoint")
+
     srv = CompiledForward(
         model, params, example, batch_sizes=config.buckets,
         param_dtype=jnp.bfloat16 if config.bf16 else None,
+        preprocess_fn=pre, postprocess_fn=post,
     )
     print("compile seconds per bucket:",
           {b: round(s, 2) for b, s in srv.compile_seconds.items()})
@@ -99,7 +115,8 @@ def main():
                 params,
             )
         blob = export_forward(
-            model, export_params, example, path=config.export
+            model, export_params, example, path=config.export,
+            preprocess_fn=pre, postprocess_fn=post,
         )
         print(f"exported {len(blob) / 1e6:.1f} MB -> {config.export}")
 

@@ -215,3 +215,43 @@ def test_compiled_forward_int8_quantized(small_fno):
             np.abs(np.asarray(a) - np.asarray(b, np.float32))
             <= step + 1e-7
         ), jax.tree_util.keystr(path)
+
+
+def test_compiled_forward_end_to_end_normalizers(small_fno):
+    """preprocess_fn + postprocess_fn bake the full data-processor into
+    the endpoint: raw-space requests in, raw-space predictions out,
+    matching the Trainer's eval pipeline exactly (serve_model.py wires
+    these from the checkpoint's data_processor.json sidecar)."""
+    from neuraloperator_tpu.data.transforms import DefaultDataProcessor
+    from neuraloperator_tpu.data.transforms.normalizers import (
+        UnitGaussianNormalizer,
+    )
+
+    model, params, x = small_fno
+    rng = np.random.RandomState(11)
+    in_norm = UnitGaussianNormalizer(dim=[0, 2, 3]).fit(
+        rng.randn(8, 1, 16, 16) * 3 + 2
+    )
+    out_norm = UnitGaussianNormalizer(dim=[0, 2, 3]).fit(
+        rng.randn(8, 1, 16, 16) * 0.5 - 1
+    )
+    dp = DefaultDataProcessor(in_normalizer=in_norm, out_normalizer=out_norm)
+
+    srv = CompiledForward(
+        model, params, x, batch_sizes=(4,),
+        preprocess_fn=in_norm.transform,
+        postprocess_fn=out_norm.inverse_transform,
+    )
+    # reference: the Trainer's eval path
+    sample = dp.preprocess({"x": x}, train=False)
+    ref = model.apply({"params": params}, sample["x"])
+    ref, _ = dp.postprocess(ref, sample, train=False)
+    np.testing.assert_allclose(np.asarray(srv(x)), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    blob = export_forward(model, params, x,
+                          preprocess_fn=in_norm.transform,
+                          postprocess_fn=out_norm.inverse_transform)
+    fn = load_exported(blob)
+    np.testing.assert_allclose(np.asarray(fn(x)), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
