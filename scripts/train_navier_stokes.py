@@ -75,6 +75,12 @@ class NSConfig(ConfigBase):
     # params-only warm start (fine-tuning: fresh optimizer/schedule/epoch)
     warm_start_from: Optional[str] = None
     warm_start_name: str = "best_model"
+    # pin normalizers to another checkpoint's data_processor.json instead
+    # of refitting on this run's train split — REQUIRED when warm-starting
+    # from a checkpoint trained on a different train file/subset, else the
+    # stats delta shifts every input and the fine-tune wastes its budget
+    # re-adapting (v3 lesson: a 0.23% std shift doubled eval l2)
+    normalizer_from: Optional[str] = None
 
 
 def main():
@@ -91,6 +97,18 @@ def main():
         encode_input=config.data.encode_input,
         encode_output=config.data.encode_output,
     )
+
+    if config.normalizer_from is not None:
+        from neuraloperator_tpu.data.transforms import load_data_processor
+
+        pinned = load_data_processor(config.normalizer_from)
+        if pinned is None:
+            raise SystemExit(
+                f"--normalizer_from {config.normalizer_from}: no "
+                "data_processor.json sidecar found"
+            )
+        data_processor = pinned
+        print(f"normalizers pinned from {config.normalizer_from}")
 
     if config.patching.levels > 0:
         data_processor = MGPatchingDataProcessor(
