@@ -87,11 +87,18 @@ def main():
     setup()
 
     res = config.res
-    # normalizers identical to training (same loader call, same seed)
-    _, _, dp = load_navier_stokes_pt(
-        n_train=256, n_tests=[8], batch_size=8, test_batch_sizes=[8],
-        train_resolution=res, test_resolutions=[res],
-    )
+    # prefer the checkpoint's persisted normalizer sidecar (exact
+    # training stats); fall back to a refit for pre-sidecar checkpoints
+    from neuraloperator_tpu.data.transforms import load_data_processor
+
+    dp = load_data_processor(config.save_dir)
+    if dp is not None:
+        print(f"using saved normalizers from {config.save_dir}")
+    else:
+        _, _, dp = load_navier_stokes_pt(
+            n_train=256, n_tests=[8], batch_size=8, test_batch_sizes=[8],
+            train_resolution=res, test_resolutions=[res],
+        )
 
     model = FNO(
         n_modes=(config.n_modes, config.n_modes),
