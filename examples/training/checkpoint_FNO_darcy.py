@@ -33,3 +33,17 @@ resumed.train(
     train_loader, test_loaders, adamw(5e-3), training_loss=l2,
     eval_losses={"l2": l2}, resume_from_dir=save_dir,
 )
+
+# The checkpoint is self-contained: alongside the weights the Trainer
+# persisted the fitted normalizer statistics (data_processor.json), so
+# a fresh process can evaluate WITHOUT refitting the train pipeline —
+# a refit from a different split silently shifts every input by the
+# stats delta, which dominates the measurement at small error levels.
+from neuraloperator_tpu.data.transforms import load_data_processor
+
+portable_dp = load_data_processor(save_dir)
+sample = next(iter(test_loaders[16]))
+pre = portable_dp.preprocess(dict(sample), train=False)
+out = model.apply({"params": resumed.params}, pre["x"])
+out, _ = portable_dp.postprocess(out, pre, train=False)
+print("portable-processor eval rel l2:", float(l2(out, sample["y"])))
