@@ -61,5 +61,16 @@ with open("artifacts/results.jsonl", "a") as f:
     f.write(json.dumps(entry) + "\n")
 print("journal appended:", entry)
 EOF
+# 4. make the harvest durable even if the interactive session is gone:
+#    track the f16 best checkpoint (artifacts/.gitignore excludes
+#    *.msgpack; the flagship best is committed explicitly per its
+#    README) + sidecars + journal
+git add -f "$SAVE_DIR/best_model_f16.msgpack" 2>/dev/null
+git add "$SAVE_DIR/manifest.json" "$SAVE_DIR/best_model_metadata.json" \
+        "$SAVE_DIR/model_metadata.json" "$SAVE_DIR/data_processor.json" \
+        artifacts/results.jsonl 2>/dev/null
+git commit -q -m "Harvest flagship v3c: tracked f16 best checkpoint, manifest, sidecar, journal" \
+  && note "harvest: committed" || note "harvest: nothing to commit"
+
 note "harvest: complete"
 touch /tmp/q5_harvest.done
