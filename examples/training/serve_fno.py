@@ -36,6 +36,12 @@ params = jax.jit(model.init)(jax.random.PRNGKey(0), x)["params"]
 # (in real use: params = training_state.load(...)["params"])
 
 # --- path 1: AOT-compiled batch buckets -------------------------------
+# In real use, bake the checkpoint's normalizers into the endpoint so
+# requests flow raw-space in / raw-space out (scripts/serve_model.py
+# wires these automatically from the data_processor.json sidecar):
+#   dp = load_data_processor(ckpt_dir)
+#   CompiledForward(..., preprocess_fn=dp.in_normalizer.transform,
+#                   postprocess_fn=dp.out_normalizer.inverse_transform)
 srv = CompiledForward(model, params, x, batch_sizes=(1, 8))
 print("compile seconds per bucket:",
       {b: round(s, 2) for b, s in srv.compile_seconds.items()})
