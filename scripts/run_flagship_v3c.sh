@@ -36,7 +36,12 @@ print('ok')" > /tmp/q5_probe.log 2>&1
 flagship_done() { grep -q '^final:' "$FLAG_LOG" 2>/dev/null; }
 
 launch() {
-  local extra="--warm_start_from $WARM_DIR"
+  # warm_start_opt: the fine-tune data is the same distribution (same
+  # solver/params, just 2x the trajectories), so the donor's Adam
+  # second-moment statistics are still valid — loading them skips the
+  # warm-restart bump that cost the first v3c attempt its half-horizon
+  # (best 2.65e-4 @ epoch 40 vs the donor's 2.32e-4; BASELINE.md v3c)
+  local extra="--warm_start_from $WARM_DIR --warm_start_opt true"
   [ -f "$SAVE_DIR/model.msgpack" ] && extra="--resume_from_dir $SAVE_DIR"
   nohup timeout 42000 python scripts/train_navier_stokes.py \
     --data.n_train 40000 --data.train_resolution 128 \
