@@ -74,7 +74,24 @@ def main():
     data_dir = Path(__file__).resolve().parents[1] / (
         "neuraloperator_tpu/data/datasets/data"
     )
-    data = load_pt_as_numpy(data_dir / f"nsforcing_test_{config.res}.pt")
+    test_pt = data_dir / f"nsforcing_test_{config.res}.pt"
+    if not test_pt.exists():
+        # fresh machine: the test split regenerates deterministically from
+        # the seeded in-package solver (same seed convention as
+        # scripts/generate_ns_data.py — test seed = 10_000), so a tracked
+        # checkpoint can be re-evaluated anywhere with no data download
+        print(f"{test_pt.name} missing — regenerating test split "
+              "(seeded solver, deterministic)", flush=True)
+        import subprocess
+
+        subprocess.run(
+            [sys.executable,
+             str(Path(__file__).parent / "generate_ns_data.py"),
+             "--res", str(config.res), "--train-traj", "0",
+             "--test-traj", "40"],
+            check=True,
+        )
+    data = load_pt_as_numpy(test_pt)
     xs = np.asarray(data["x"], np.float32)[: config.n_test, None]
     ys = np.asarray(data["y"], np.float32)[: config.n_test, None]
 

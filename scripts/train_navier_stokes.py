@@ -75,6 +75,9 @@ class NSConfig(ConfigBase):
     # params-only warm start (fine-tuning: fresh optimizer/schedule/epoch)
     warm_start_from: Optional[str] = None
     warm_start_name: str = "best_model"
+    # also load the donor's optimizer.msgpack (same-distribution
+    # fine-tunes: skips the warm-restart bump of a fresh Adam state)
+    warm_start_opt: bool = False
     # pin normalizers to another checkpoint's data_processor.json instead
     # of refitting on this run's train split — REQUIRED when warm-starting
     # from a checkpoint trained on a different train file/subset, else the
@@ -150,6 +153,7 @@ def main():
         resume_from_dir=config.resume_from_dir,
         warm_start_from=config.warm_start_from,
         warm_start_name=config.warm_start_name,
+        warm_start_opt=config.warm_start_opt,
         **(
             {
                 "save_dir": config.save_dir,

@@ -111,6 +111,48 @@ def test_warm_start_params_only(tmp_path):
         np.testing.assert_allclose(a, b, rtol=1e-6)
 
 
+def test_warm_start_opt_state(tmp_path):
+    """warm_start_opt=True restores the donor's optimizer statistics.
+
+    Same-distribution fine-tunes should start from the donor's Adam
+    moments to avoid the warm-restart bump (BASELINE.md round-5 v3c);
+    a missing/mismatched donor state falls back to fresh with a warning.
+    """
+    ds = _toy_problem()
+    loader = DataLoader(ds, batch_size=8)
+    test_loaders = {8: DataLoader(ds, batch_size=8)}
+    model = _small_model()
+    l2 = LpLoss(d=2)
+    save_dir = tmp_path / "src"
+
+    src = Trainer(model=model, n_epochs=2, eval_interval=2)
+    src.train(
+        loader, test_loaders, adamw(1e-3), training_loss=l2,
+        eval_losses={"l2": l2}, save_every=1, save_dir=save_dir,
+    )
+
+    # n_epochs=0: pure state-loading pass, nothing trains afterwards
+    ft = Trainer(model=model, n_epochs=0)
+    ft.train(
+        loader, test_loaders, adamw(1e-3), training_loss=l2,
+        eval_losses={"l2": l2}, warm_start_from=save_dir,
+        warm_start_name="model", warm_start_opt=True,
+    )
+    assert ft.start_epoch == 0  # still a warm start, not a resume
+    for a, b in zip(jax_leaves(src.opt_state), jax_leaves(ft.opt_state)):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+
+    # donor without an optimizer checkpoint: warn + fresh state
+    (save_dir / "optimizer.msgpack").unlink()
+    ft2 = Trainer(model=model, n_epochs=0)
+    with pytest.warns(UserWarning, match="warm_start_opt"):
+        ft2.train(
+            loader, test_loaders, adamw(1e-3), training_loss=l2,
+            eval_losses={"l2": l2}, warm_start_from=save_dir,
+            warm_start_name="model", warm_start_opt=True,
+        )
+
+
 def test_save_best(tmp_path):
     ds = _toy_problem()
     loader = DataLoader(ds, batch_size=8)
