@@ -431,6 +431,17 @@ def main():
         float(infer_chain(params, x)[0, 0, 0, 0])
         infer_ms = (time.perf_counter() - t0) / k_inner * 1e3
 
+        # serving-throughput operating point: forward-only at batch 64
+        # (weights stream once per 8x the samples of the batch-8 row;
+        # the saturating-batch analogue of the training sweep below)
+        infer_ms_b64 = None
+        if batch == 8:
+            x64 = jnp.asarray(rng.randn(64, 1, RES, RES), jnp.float32)
+            float(infer_chain(params, x64)[0, 0, 0, 0])  # compile
+            t0 = time.perf_counter()
+            float(infer_chain(params, x64)[0, 0, 0, 0])
+            infer_ms_b64 = (time.perf_counter() - t0) / k_inner * 1e3
+
         # samples/s at batch 16: throughput saturates at ~700 samples/s
         # for batch >= 16 on this model shape (BASELINE.md round-3 sweep) —
         # that saturation point is the honest capacity metric for a
@@ -527,6 +538,16 @@ def main():
                 "device_steps_per_sec": round(device_steps_per_sec, 3),
                 "infer_ms_batch": round(infer_ms, 3),
                 "infer_samples_per_sec": round(batch / infer_ms * 1e3, 1),
+                **(
+                    {
+                        "infer_ms_batch64": round(infer_ms_b64, 3),
+                        "infer_samples_per_sec_batch64": round(
+                            64 / infer_ms_b64 * 1e3, 1
+                        ),
+                    }
+                    if infer_ms_b64 is not None
+                    else {}
+                ),
                 "spectral_conv_fwdbwd_ms_64modes": round(conv_ms, 3),
                 "step_gflops_analytic": round(flops / 1e9, 1),
                 "achieved_tflops": round(achieved, 3),
